@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import eos
-from ..core.collision import bgk_collide, equilibrium
+from ..core.collision import bgk_collide, equilibrium, mrt_collide
 from ..core.lattice import D2Q9, Lattice
 from ..core.streaming import stream_bounce_back
 
@@ -47,6 +47,7 @@ class SCParams:
     gravity: float = 0.0         # +y body force (reference laplace2D.h:239)
     p_shift: float = 0.0         # ψ² regularisation (twoLayeredFlow2D.h:181-188)
     gx: float = 0.0              # +x body force (layered flow drive)
+    collision: str = "bgk"       # "bgk" | "mrt"
     wall_psi_center_branch: bool = True
     # True  → ψ_w evaluated on the *current node's* G₁ branch
     #         (reference contactAngle2D.h:252-262)
@@ -142,7 +143,15 @@ def step(f, fluid, p: SCParams, lattice: Lattice = D2Q9):
     F = sc_force(rho, fluid, p, lattice)
     ueq = u + p.tau * F / rho_safe[None]
     feq = equilibrium(rho, ueq, lattice)
-    post = bgk_collide(f, feq, p.omega)
+    if p.collision == "mrt":
+        # MRT with the pulsatile-module relaxation structure: stress moments
+        # at s8 = ω, remaining moments fully relaxed (S=1); SC forcing still
+        # enters via the velocity shift in f^eq.
+        S = np.ones(9)
+        S[7] = S[8] = p.omega
+        post = mrt_collide(f, feq, S)
+    else:
+        post = bgk_collide(f, feq, p.omega)
     # solid cells must contribute zero (their post would be garbage); the
     # stream's fluid gating only protects reads *through* BB, so zero them.
     post = post * fluid[None].astype(f.dtype)

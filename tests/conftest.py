@@ -1,13 +1,14 @@
 """Test harness: force an 8-device virtual CPU mesh and float64.
 
-Must configure the environment *before* jax is imported anywhere.  The
-reference code is float64 throughout; tests validate numerics at f64 on CPU,
-while TPU production runs use f32/bf16 (see bench.py).
+The dev image registers an `axon` TPU backend via sitecustomize and pins
+``JAX_PLATFORMS=axon`` in the environment, so plain env-var overrides do NOT
+work; we must override via ``jax.config`` after import but before backend
+initialisation.  The reference code is float64 throughout; tests validate
+numerics at f64 on CPU, while TPU production runs use f32/bf16 (see bench.py).
 """
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
