@@ -51,6 +51,14 @@ class Lattice:
         np.testing.assert_array_equal(self.c[self.opp], -self.c)
         np.testing.assert_allclose(self.w.sum(), 1.0, rtol=1e-12)
 
+    # hashable so descriptors can be jit static args; identity by name is
+    # sound because each named descriptor is a module-level constant
+    def __hash__(self):
+        return hash(self.name)
+
+    def __eq__(self, other):
+        return isinstance(other, Lattice) and other.name == self.name
+
     @property
     def cs2(self) -> float:
         return 1.0 / 3.0

@@ -1,0 +1,90 @@
+"""Physics tests for the HCZ phase-field family (RT 2D, layered 2D, 3D droplet)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiphase_lbm_tpu.io.config import lb_parameters
+from multiphase_lbm_tpu.models import hcz
+
+
+def _rt_setup(N=48):
+    # reference config: Re=3000, ulb=0.04 (scaled-down lattice for CI)
+    nu, omega, dx, dt = lb_parameters(0.04, N, 3000.0)
+    p = hcz.HCZParams(omega=omega, gravity=-6.25e-6, kappa=0.01)
+    ny = 4 * N + 2
+    state = hcz.init_rayleigh_taylor(N, ny, p, dtype=jnp.float64)
+    fluid = hcz.geometry_channel(N, ny)
+    state = hcz.apply_geometry(state, fluid)
+    return p, state, fluid
+
+
+def test_rt_phase_conservation():
+    p, state, fluid = _rt_setup()
+    m0 = float(hcz.total_phase_mass(state))
+    state = hcz.run(state, fluid, p, 100)
+    m1 = float(hcz.total_phase_mass(state))
+    assert abs(m1 - m0) / abs(m0) < 5e-10
+
+
+def test_rt_instability_grows_downward():
+    """Heavy-on-top with gravity: the spike (at the cos minimum) must fall."""
+    p, state, fluid = _rt_setup()
+    phi0 = np.asarray(hcz.order_parameter(state[0]))
+    s0, b0 = hcz.interface_heights(phi0, p)
+    state = hcz.run(state, fluid, p, 1500)
+    phi1 = np.asarray(hcz.order_parameter(state[0]))
+    assert np.isfinite(phi1).all()
+    s1, b1 = hcz.interface_heights(phi1, p)
+    # spike at x=nx/2 (cos minimum → interface lowest) falls further down;
+    # bubble at x=0 rises
+    assert s1 <= s0, (s0, s1)
+    assert b1 >= b0, (b0, b1)
+    assert (s1 - s0) - (b1 - b0) < 0  # differential growth
+
+
+def test_rt_energy_finite_and_growing():
+    p, state, fluid = _rt_setup()
+    e0 = float(hcz.kinetic_energy(state, fluid, p))
+    state = hcz.run(state, fluid, p, 800)
+    e1 = float(hcz.kinetic_energy(state, fluid, p))
+    assert np.isfinite(e1) and e1 > e0
+
+
+def test_layered_flow_develops_velocity():
+    """Body-force-driven layered channel accelerates in +x, stays finite
+    (PF twoLayeredFlow2D semantics)."""
+    nu, omega, dx, dt = lb_parameters(0.1, 50, 60.0)
+    p = hcz.HCZParams(omega=omega, kappa=0.001, gravity=0.0, Gx_const=1e-8)
+    nx, ny = 50, 50
+    state = hcz.init_layers(nx, ny, p, h_lower=0.3, w_int=2, dtype=jnp.float64)
+    fluid = hcz.geometry_channel(nx, ny)
+    state = hcz.apply_geometry(state, fluid)
+    state = hcz.run(state, fluid, p, 800)
+    _, rho, u, P, _, _, _ = hcz.macro_2d(state[0], state[1], fluid, p)
+    ux = np.asarray(u[0])[np.asarray(fluid)]
+    assert np.isfinite(ux).all()
+    assert ux.mean() > 0.0  # net drive
+    # density contrast preserved: mid-channel liquid, near-wall gas
+    rho_h = np.asarray(rho)
+    assert rho_h[ny // 2, 5] > rho_h[2, 5]
+
+
+def test_laplace3d_droplet():
+    """D3Q19 sphere: stays coherent, pressure inside above outside."""
+    nu, omega, dx, dt = lb_parameters(0.01, 24, 6.0)
+    p = hcz.HCZParams(omega=omega, kappa=5e-4, rho_l=0.12, rho_g=0.04)
+    n = 24
+    state = hcz.init_droplet_3d(n, n, n, p, dtype=jnp.float64)
+    fluid = hcz.geometry_periodic_3d(n, n, n)
+    m0 = float(hcz.total_phase_mass(state))
+    state = hcz.run(state, fluid, p, 300, lattice=hcz.D3Q19, three_d=True)
+    m1 = float(hcz.total_phase_mass(state))
+    assert abs(m1 - m0) / abs(m0) < 5e-10
+    phi = np.asarray(hcz.order_parameter(state[0]))
+    assert np.isfinite(phi).all()
+    assert phi[n // 2, n // 2, n // 2] > 0.2   # liquid inside
+    assert phi[1, 1, 1] < 0.05                 # gas outside
+    _, _, _, P, _, _, _ = hcz.macro_3d(state[0], state[1], fluid, p,
+                                       hcz.D3Q19)
+    P = np.asarray(P)
+    assert P[n // 2, n // 2, n // 2] > P[1, 1, 1]
