@@ -6,6 +6,11 @@ MLUPS definition identical to the reference (printMlups_*):
 nelem * iterations / microseconds.  ``vs_baseline`` is the fraction of the
 north-star target (2000 MLUPS on one v5e chip, BASELINE.json) since the
 reference publishes no numbers of its own.
+
+Timing notes (hard-won on the axon relay): ``block_until_ready`` does not
+reliably block, and jitting inside the timing loop measures remote
+compilation.  So: compile once with the measured step count, run once to
+warm, then time a run on a *fresh* input and force a small host readback.
 """
 import argparse
 import json
@@ -17,38 +22,51 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--collision", default="mrt", choices=["bgk", "mrt"])
+    ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--no-fused", action="store_true",
+                    help="benchmark the plain XLA path instead of Pallas")
     args = ap.parse_args()
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from multiphase_lbm_tpu.models import shan_chen as sc
+    from multiphase_lbm_tpu.ops import pallas_sc
 
     n = args.size
     p = sc.SCParams(collision=args.collision)
-    rng = np.random.default_rng(0)
-    # droplet initial condition, f32 (production dtype)
     f = sc.init_droplet(n, n, p, radius=n / 8.0, dtype=jnp.float32)
     fluid = sc.geometry_periodic(n, n)
 
-    f = sc.run(f, fluid, p, args.warmup)
-    f.block_until_ready()
+    if args.no_fused:
+        def step_n(v):
+            return sc.run(v, fluid, p, args.steps)
+        label = "XLA"
+    else:
+        fluid_f32 = fluid.astype(jnp.float32)
 
+        def step_n(v):
+            return pallas_sc.run_fused(v, fluid_f32, p, args.steps,
+                                       tile=args.tile)
+        label = "Pallas"
+
+    out = step_n(f)
+    np.asarray(out[0, 0, :8])          # compile + run + sync
+    f2 = f * jnp.float32(1.000001)     # fresh input so nothing is cached
     t0 = time.perf_counter()
-    f = sc.run(f, fluid, p, args.steps)
-    f.block_until_ready()
+    out = step_n(f2)
+    np.asarray(out[0, 0, :8])          # force completion
     dt = time.perf_counter() - t0
 
     mlups = n * n * args.steps / dt / 1e6
-    assert bool(jnp.isfinite(f).all()), "non-finite state after benchmark"
+    # reduce on device; pulling the full array over the axon tunnel is slow
+    assert bool(jnp.isfinite(jnp.sum(out))), "non-finite state after benchmark"
 
     target = 2000.0  # BASELINE.json north star
     print(json.dumps({
-        "metric": f"MLUPS_D2Q9_{args.collision.upper()}_ShanChen_{n}x{n}",
+        "metric": f"MLUPS_D2Q9_{args.collision.upper()}_ShanChen_{n}x{n}_{label}",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / target, 4),

@@ -178,12 +178,14 @@ def init_droplet(nx, ny, p: SCParams, radius=10.0, center=None, dtype=jnp.float3
     """
     if center is None:
         center = (nx / 2.0, ny / 2.0)
+    npdtype = np.dtype(jnp.dtype(dtype).name if dtype != jnp.bfloat16 else "float32")
     X, Y = np.meshgrid(np.arange(nx), np.arange(ny))  # shapes (ny, nx)
     dx = X - center[0]
     dy = Y - center[1]
     rho = np.where(dx * dx + dy * dy <= radius * radius, p.rhol, p.rhog)
-    w = np.asarray(D2Q9.w if lattice is D2Q9 else lattice.w)
-    f = rho[None] * w[:, None, None]
+    w = np.asarray(lattice.w)
+    # build in the target dtype to keep host memory/transfer small
+    f = (rho[None] * w[:, None, None]).astype(npdtype)
     return jnp.asarray(f, dtype=dtype)
 
 

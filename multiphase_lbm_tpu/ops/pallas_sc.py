@@ -1,0 +1,248 @@
+"""Fused Pallas TPU kernel for the Shan-Chen D2Q9 step.
+
+One kernel per time step: macroscopic recovery, Yuan-CS pseudopotential
+force, BGK/MRT collision with velocity-shift forcing, and bounce-back pull
+streaming — all in VMEM, reading and writing the population array exactly
+once per step (the XLA fallback path in :mod:`..models.shan_chen` issues
+tens of HBM round trips for the same math).
+
+Decomposition: the lattice ``(9, ny, nx)`` is cut into y-stripes; x is the
+lane dimension and stays whole inside each block.  Each grid program DMAs
+its stripe plus a 2-row halo (force reach 1 + streaming reach 1) from HBM
+with explicit wrap handling for the first/last stripes, computes the full
+step for the stripe interior, and writes the interior rows to the output
+block.  x-periodicity is exact via lane rolls; y-periodicity via the
+wrapped halo loads; walls via the fluid mask (the same mask algebra as the
+reference semantics, laplace2D.h:198-305).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import eos
+from ..core.collision import MRT_M_I, MRT_M_I_INV
+from ..core.lattice import D2Q9
+from ..models.shan_chen import SCParams
+
+# Mosaic DMA slices along the sublane dim must be 8-aligned; the physical
+# stencil reach is 2 (force 1 + stream 1) but we load an 8-row halo.
+HALO = 8
+
+
+def _pick_tile(ny: int, target: int = 64) -> int:
+    """Largest divisor of ny that is ≤ target and a multiple of 8
+    (Mosaic sublane alignment)."""
+    best = 0
+    for t in range(8, min(ny, target) + 1, 8):
+        if ny % t == 0:
+            best = t
+    if best == 0:
+        raise ValueError(f"ny={ny} has no stripe height that is a multiple of 8; "
+                         "use the XLA path for this shape")
+    return best
+
+
+def _roll2(arr, cy, cx):
+    """Value at (r+cy, x+cx) for every (r, x): roll by (-cy, -cx).
+
+    pltpu.roll requires non-negative shifts, so reduce modulo axis size."""
+    out = arr
+    if cy:
+        out = pltpu.roll(out, (-cy) % arr.shape[0], 0)
+    if cx:
+        out = pltpu.roll(out, (-cx) % arr.shape[1], 1)
+    return out
+
+
+def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool):
+    lat = D2Q9
+    w = lat.w
+    c = lat.c
+    opp = lat.opp
+    Text = Ty + 2 * HALO
+    nprog = ny // Ty
+    T = p.T
+    a, R = p.a, p.R
+    if p.collision == "mrt":
+        S = np.ones(9)
+        S[7] = S[8] = p.omega
+        A_mat = (MRT_M_I_INV @ np.diag(S) @ MRT_M_I).astype(np.float32)
+    else:
+        A_mat = None
+
+    def kernel(f_hbm, m_hbm, out_ref, fbuf, mbuf, sem):
+        i = pl.program_id(0)
+        y0 = pl.multiple_of(i * Ty, 8)
+
+        # ---- halo-extended stripe load (wrap in y) ----
+        def cp(src, dst, slot):
+            d = pltpu.make_async_copy(src, dst, sem.at[slot])
+            d.start()
+            d.wait()
+
+        if nprog == 1:
+            # single stripe: whole lattice + both wrap halos
+            cp(f_hbm.at[:, pl.ds(ny - HALO, HALO), :], fbuf.at[:, pl.ds(0, HALO), :], 0)
+            cp(m_hbm.at[pl.ds(ny - HALO, HALO), :], mbuf.at[pl.ds(0, HALO), :], 1)
+            cp(f_hbm.at[:, pl.ds(0, ny), :], fbuf.at[:, pl.ds(HALO, ny), :], 0)
+            cp(m_hbm.at[pl.ds(0, ny), :], mbuf.at[pl.ds(HALO, ny), :], 1)
+            cp(f_hbm.at[:, pl.ds(0, HALO), :], fbuf.at[:, pl.ds(HALO + ny, HALO), :], 0)
+            cp(m_hbm.at[pl.ds(0, HALO), :], mbuf.at[pl.ds(HALO + ny, HALO), :], 1)
+        else:
+            @pl.when(i == 0)
+            def _():
+                cp(f_hbm.at[:, pl.ds(ny - HALO, HALO), :], fbuf.at[:, pl.ds(0, HALO), :], 0)
+                cp(m_hbm.at[pl.ds(ny - HALO, HALO), :], mbuf.at[pl.ds(0, HALO), :], 1)
+                cp(f_hbm.at[:, pl.ds(0, Ty + HALO), :], fbuf.at[:, pl.ds(HALO, Ty + HALO), :], 0)
+                cp(m_hbm.at[pl.ds(0, Ty + HALO), :], mbuf.at[pl.ds(HALO, Ty + HALO), :], 1)
+
+        if nprog > 1:
+            @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
+            def _():
+                cp(f_hbm.at[:, pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], fbuf.at[:, :, :], 0)
+                cp(m_hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], mbuf.at[:, :], 1)
+
+            @pl.when(i == nprog - 1)
+            def _():
+                cp(f_hbm.at[:, pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), :],
+                   fbuf.at[:, pl.ds(0, Ty + HALO), :], 0)
+                cp(m_hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), :],
+                   mbuf.at[pl.ds(0, Ty + HALO), :], 1)
+                cp(f_hbm.at[:, pl.ds(0, HALO), :],
+                   fbuf.at[:, pl.ds(Ty + HALO, HALO), :], 0)
+                cp(m_hbm.at[pl.ds(0, HALO), :],
+                   mbuf.at[pl.ds(Ty + HALO, HALO), :], 1)
+
+        fb = fbuf[:, :, :]           # (9, Text, nx)
+        mb = mbuf[:, :]              # (Text, nx), 1.0 = fluid
+
+        # ---- macroscopic fields ----
+        rho = fb[0] + fb[1] + fb[2] + fb[3] + fb[4] + fb[5] + fb[6] + fb[7] + fb[8]
+        rho_safe = jnp.maximum(rho, 1e-14)
+        ux = (fb[5] + fb[7] + fb[8] - fb[0] - fb[2] - fb[3]) / rho_safe
+        uy = (fb[3] + fb[6] + fb[7] - fb[1] - fb[2] - fb[8]) / rho_safe
+
+        # ---- Yuan-CS pseudopotential + force ----
+        Z = eos.yuan_Z(rho)
+        s = R * T * Z - a * rho - eos.CS2
+        G1 = jnp.where(s > 0.0, eos.CS2, -eos.CS2)
+        P = rho * R * T * Z - a * rho * rho + p.p_shift
+        psi = jnp.sqrt(jnp.maximum(6.0 * (P - eos.CS2 * rho) / G1, 0.0))
+        if p.wall_psi_center_branch:
+            Zw = float(eos.yuan_Z(np.float64(p.rho_w)))
+            valw = 6.0 * p.rho_w * (R * T * Zw - a * p.rho_w - eos.CS2) / G1 \
+                + 6.0 * p.p_shift / G1
+            psi_w = jnp.sqrt(jnp.maximum(valw, 0.0))
+        else:
+            psi_w = float(eos.yuan_psi(np.float64(p.rho_w), a, R, T, p.p_shift))
+
+        sum_ff_x = jnp.zeros_like(rho)
+        sum_ff_y = jnp.zeros_like(rho)
+        sum_bb_x = jnp.zeros_like(rho)
+        sum_bb_y = jnp.zeros_like(rho)
+        for k in range(9):
+            cx, cy = int(c[k][0]), int(c[k][1])
+            if cx == 0 and cy == 0:
+                continue
+            nb_m = _roll2(mb, cy, cx)
+            nb_psi = _roll2(psi, cy, cx)
+            ff = nb_m * nb_psi
+            bb = 1.0 - nb_m
+            wk = float(w[k])
+            if cx:
+                sum_ff_x += (wk * cx) * ff
+                sum_bb_x += (wk * cx) * bb
+            if cy:
+                sum_ff_y += (wk * cy) * ff
+                sum_bb_y += (wk * cy) * bb
+
+        Fx = -G1 * psi * (sum_ff_x + psi_w * sum_bb_x) + p.gx * rho
+        Fy = -G1 * psi * (sum_ff_y + psi_w * sum_bb_y) + p.gravity * rho
+
+        # ---- collision at shifted velocity ----
+        tau = 1.0 / p.omega
+        uex = ux + tau * Fx / rho_safe
+        uey = uy + tau * Fy / rho_safe
+        usqr = 1.5 * (uex * uex + uey * uey)
+        feq = []
+        for k in range(9):
+            cx, cy = float(c[k][0]), float(c[k][1])
+            cu = cx * uex + cy * uey
+            feq.append(rho * float(w[k]) * (1.0 + 3.0 * cu + 4.5 * cu * cu - usqr))
+
+        if A_mat is None:
+            post = [(1.0 - p.omega) * fb[k] + p.omega * feq[k] for k in range(9)]
+        else:
+            dneq = [fb[k] - feq[k] for k in range(9)]
+            post = []
+            for kk in range(9):
+                acc = fb[kk]
+                for jj in range(9):
+                    acc = acc - float(A_mat[kk, jj]) * dneq[jj]
+                post.append(acc)
+        post = [pk * mb for pk in post]
+
+        # ---- pull streaming with on-site bounce-back ----
+        for k in range(9):
+            cx, cy = int(c[k][0]), int(c[k][1])
+            if cx == 0 and cy == 0:
+                new_k = post[4]
+            else:
+                pulled = _roll2(post[k], -cy, -cx)       # value from (r-cy, x-cx)
+                up_m = _roll2(mb, -cy, -cx)
+                new_k = jnp.where(up_m > 0.5, pulled, post[opp[k]])
+            out_ref[k, :, :] = (new_k * mb)[HALO:HALO + Ty, :]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret"))
+def run_fused(f, fluid_f32, p: SCParams, n_steps: int, tile: int = 0,
+              interpret: bool = False):
+    """Advance ``n_steps`` with the fused kernel under ``lax.scan``.
+
+    Args:
+      f: populations ``(9, ny, nx)`` float32.
+      fluid_f32: fluid mask ``(ny, nx)`` float32 (1.0 fluid / 0.0 solid).
+      p: static model params.
+      tile: y-stripe height (0 = auto).
+      interpret: run in interpreter mode (CPU testing).
+    """
+    _, ny, nx = f.shape
+    Ty = tile or _pick_tile(ny)
+    assert ny % Ty == 0, (ny, Ty)
+    Text = Ty + 2 * HALO
+    kernel = _make_kernel(p, ny, nx, Ty, interpret)
+
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(f.shape, f.dtype),
+        grid=(ny // Ty,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((9, Text, nx), jnp.float32),
+            pltpu.VMEM((Text, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def body(carry, _):
+        return call(carry, fluid_f32), None
+
+    out, _ = jax.lax.scan(body, f, None, length=n_steps)
+    return out
