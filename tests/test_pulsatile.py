@@ -1,0 +1,93 @@
+"""Pulsatile deformable-vessel tests, including golden parity against the
+reference's archived run (103 VTK dumps of the severed-vessel case)."""
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiphase_lbm_tpu.io import vtk
+from multiphase_lbm_tpu.models import pulsatile as pb
+
+GOLD = Path("/root/reference/Abbashub LBM/"
+            "out_single-phase fluid flow through a compliant vessel")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    N = 64
+    p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N)
+    return p, pb.initialize(p)
+
+
+def test_derived_parameters(setup):
+    p, st = setup
+    # severed-mode overrides (reference :156-163)
+    assert p.pin == 0.02 and p.pout == 0.0
+    assert np.isclose(p.p_osc, 0.002)
+    assert p.t_propagation == int((p.nx - 1) * np.sqrt(3.0) - 1)
+    assert p.t_start == 2 * p.t_propagation
+
+
+def test_initial_geometry(setup):
+    p, st = setup
+    fluid = np.asarray(st.fluid)
+    # walls closed at inlet (severed: radius 0 → no fluid at x=0),
+    # open to radius 2 at outlet
+    assert fluid[:, 0].sum() == 0
+    assert 2 <= fluid[:, -1].sum() <= 6
+    # top/bottom rows always solid
+    assert fluid[0].sum() == 0 and fluid[-1].sum() == 0
+
+
+@pytest.mark.skipif(not GOLD.exists(), reason="golden artifact absent")
+def test_golden_parity_first_dump(setup):
+    """Step 1 must reproduce the archived sol_0000000.vtk (written after one
+    full iteration) to VTK-ascii precision."""
+    p, st = setup
+    st = pb.step(st, 0, p)
+    gold = vtk.read_vtk_fields(GOLD / "sol_0000000.vtk")
+    assert int(((1 - np.asarray(st.fluid).astype(int))
+                != gold["Flag"].astype(int)).sum()) == 0
+    np.testing.assert_allclose(np.asarray(st.P), gold["P"], atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st.Ux), gold["Ux"], atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st.Uy), gold["Uy"], atol=2e-6)
+
+
+@pytest.mark.skipif(not GOLD.exists(), reason="golden artifact absent")
+def test_golden_parity_through_t27(setup):
+    """27 further deformable-wall iterations (wall motion, border rebuild,
+    Bouzidi, reseeding) still match the archived run."""
+    p, st = setup
+    st = pb.step(st, 0, p)
+    st = pb.run(st, 1, p, 27)
+    gold = vtk.read_vtk_fields(GOLD / "sol_0000027.vtk")
+    assert int(((1 - np.asarray(st.fluid).astype(int))
+                != gold["Flag"].astype(int)).sum()) == 0
+    np.testing.assert_allclose(np.asarray(st.P), gold["P"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.Ux), gold["Ux"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.Uy), gold["Uy"], atol=1e-5)
+
+
+def test_walls_respond_to_pressure(setup):
+    p, st = setup
+    st1 = pb.run(st, 0, p, 40)
+    yr1 = np.asarray(st1.yr1)
+    yr2 = np.asarray(st1.yr2)
+    # severed vessel: interior pressure below tissue pressure → vessel opens
+    # near the inlet (walls move apart from the closed configuration)
+    assert yr1[0] < np.asarray(st.yr1)[0]
+    assert yr2[0] > np.asarray(st.yr2)[0]
+    assert np.isfinite(np.asarray(st1.P)).all()
+
+
+def test_nondeformable_mode_runs(setup):
+    N = 64
+    p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N, deformable=False,
+                           is_severed=False)
+    st = pb.initialize(p)
+    st = pb.run(st, 0, p, 30)
+    assert np.isfinite(np.asarray(st.P)).all()
+    # static geometry untouched
+    assert np.array_equal(np.asarray(st.fluid),
+                          np.asarray(pb.initialize(p).fluid))
