@@ -44,9 +44,14 @@ class SCParams:
     rhol: float = 0.265
     rhog: float = 0.038
     rho_w: float = 0.12          # virtual wall density (wetting)
-    gravity: float = 0.0         # +y body force (reference laplace2D.h:239)
+    gravity: float = 0.0         # +y body force, ρ-scaled (laplace2D.h:239)
     p_shift: float = 0.0         # ψ² regularisation (twoLayeredFlow2D.h:181-188)
-    gx: float = 0.0              # +x body force (layered flow drive)
+    gx: float = 0.0              # +x body force, ρ-scaled
+    gx_u: float = 0.0            # +x body force per NODE, unscaled
+    gy_u: float = 0.0            # +y body force per NODE, unscaled
+    #   (the layered module adds gx/gy directly to F, twoLayeredFlow2D.h:256-258)
+    psi_mode: str = "yuan"       # "yuan" | "const_g"
+    G: float = -1.0              # constant coupling for psi_mode="const_g"
     collision: str = "bgk"       # "bgk" | "mrt"
     wall_psi_center_branch: bool = True
     # True  → ψ_w evaluated on the *current node's* G₁ branch
@@ -83,13 +88,23 @@ def sc_force(rho, fluid, p: SCParams, lattice: Lattice = D2Q9):
       F_y += gravity·ρ,  F_x += gx·ρ.
     """
     dtype = rho.dtype
-    psi = eos.yuan_psi(rho, p.a, p.R, p.T, p.p_shift)
-    G1c = eos.yuan_G1(rho, p.a, p.R, p.T)
-    if p.wall_psi_center_branch:
-        psi_w = eos.yuan_psi_fixed_branch(
-            jnp.asarray(p.rho_w, dtype), p.a, p.R, p.T, G1c, p.p_shift)
+    if p.psi_mode == "const_g":
+        # constant-G ψ mapping with p_shift (twoLayeredFlow2D.h:183-190):
+        # ψ² = 2 (c_s²ρ − (P_eos + p_shift)) / (|G| c_s²), clipped at 0
+        def psi_cg(r):
+            S = eos.CS2 * r - (eos.yuan_pressure(r, p.a, p.R, p.T) + p.p_shift)
+            return jnp.sqrt(jnp.maximum(2.0 * S / (abs(p.G) * eos.CS2), 0.0))
+        psi = psi_cg(rho)
+        G1c = jnp.asarray(p.G, dtype)
+        psi_w = psi_cg(jnp.asarray(p.rho_w, dtype))
     else:
-        psi_w = eos.yuan_psi(jnp.asarray(p.rho_w, dtype), p.a, p.R, p.T, p.p_shift)
+        psi = eos.yuan_psi(rho, p.a, p.R, p.T, p.p_shift)
+        G1c = eos.yuan_G1(rho, p.a, p.R, p.T)
+        if p.wall_psi_center_branch:
+            psi_w = eos.yuan_psi_fixed_branch(
+                jnp.asarray(p.rho_w, dtype), p.a, p.R, p.T, G1c, p.p_shift)
+        else:
+            psi_w = eos.yuan_psi(jnp.asarray(p.rho_w, dtype), p.a, p.R, p.T, p.p_shift)
 
     axes = tuple(range(rho.ndim))
     shifts = lattice.roll_shifts()
@@ -110,8 +125,8 @@ def sc_force(rho, fluid, p: SCParams, lattice: Lattice = D2Q9):
                 sum_bb[d] = sum_bb[d] + wk_ck * (~nb_fluid).astype(dtype)
 
     F = [-G1c * psi * (sum_ff[d] + psi_w * sum_bb[d]) for d in range(lattice.d)]
-    F[0] = F[0] + p.gx * rho
-    F[1] = F[1] + p.gravity * rho
+    F[0] = F[0] + p.gx * rho + p.gx_u
+    F[1] = F[1] + p.gravity * rho + p.gy_u
     return jnp.stack(F, axis=0)
 
 
@@ -259,3 +274,30 @@ def contact_angle(rho_host: np.ndarray, fluid_host: np.ndarray, rhol, rhog):
     if theta < 0.0:
         theta += 180.0
     return base, height, theta
+
+
+def compute_p_shift(p: SCParams, n_samples: int = 600) -> float:
+    """Auto pressure shift so ψ² ≥ 0 across [ρ_g, ρ_l] (reference
+    twoLayeredFlow2D.h driver :540-551: max of −S over 601 samples + 1e-12)."""
+    import numpy as _np
+    r = _np.linspace(p.rhog, p.rhol, n_samples + 1)
+    S = r / 3.0 - _np.asarray(eos.yuan_pressure(r, p.a, p.R, p.T))
+    return float(max(0.0, float((-S).max())) + 1e-12)
+
+
+def init_layers(nx, ny, p: SCParams, h_lower=0.3, w_int=4, dtype=jnp.float64,
+                lattice: Lattice = D2Q9):
+    """Gas near both walls, liquid in the middle (reference
+    twoLayeredFlow2D.h iniLattice_layers:325-344 — despite its comment
+    claiming the opposite, the code maps s_liq→ρ_g at the walls)."""
+    H = float(ny - 1)
+    y_low = min(max(h_lower, 0.0), 0.5) * H
+    y_high = H - y_low
+    wint = max(1, int(w_int))
+    Y = np.arange(ny, dtype=float)[:, None] * np.ones((1, nx))
+    s_bottom = 0.5 * (1.0 - np.tanh((Y - y_low) / wint))
+    s_top = 0.5 * (1.0 + np.tanh((Y - y_high) / wint))
+    s_liq = np.clip(s_bottom + s_top, 0.0, 1.0)
+    rho = s_liq * p.rhog + (1.0 - s_liq) * p.rhol
+    w = np.asarray(lattice.w)
+    return jnp.asarray(rho[None] * w[:, None, None], dtype)
