@@ -1,1 +1,1 @@
-from . import shan_chen  # noqa: F401
+from . import combustion, fakhari, hcz, pulsatile, shan_chen, shan_chen_rt  # noqa: F401

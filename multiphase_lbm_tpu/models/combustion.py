@@ -1,0 +1,725 @@
+"""Reactive multicomponent MRT combustion solver (D2Q9, rest-first ordering).
+
+TPU-native re-design of reference ``CooLBM_MRT_combustion.cpp`` in its
+default configuration (the Xu-2018 regeneration test driven by ``main``):
+four coupled populations — flow f, species g_O2/g_CO2 (mass fractions),
+temperature g_T — on an inflow/outflow channel with four reactive obstacles.
+
+Default-path features (reference flags :154-254):
+  MRT collisions with per-population relaxation diagonals; parabolic inlet
+  imposed via moving-wall momentum-exchange populations at x=0; second-order
+  extrapolated flow outlet with corner formulas; species/temperature
+  anti-bounce-back Dirichlet (inlet) and zero-gradient (walls/outlet) BCs;
+  Arrhenius surface reaction at gas/obstacle interfaces via interfacial mass
+  fractions (anti-bounce-back species sink + heat release in the gas);
+  LI2014 conjugate heat transfer across the gas/solid interface; solid
+  temperature population on obstacle cells with its own relaxation rate.
+
+The reference evaluates its inline boundary conditions per cell *during* the
+parallel sweep (reads of half-updated neighbours are unordered under
+``execution::par``); here the step is decomposed into deterministic phases:
+(1) interface/external BC fixes on the incoming populations, (2) macro,
+(3) collisions, (4) streaming with link-type selects.  Geometry is static,
+so all link masks and the interface-normal factors (reference
+``get_normal_vect``'s erg-table, :1371-1632) are precomputed host-side.
+
+Not ported (non-default flags): Cavity/Couette/Poiseuille topologies,
+GUO2015/HUBER2015 conjugate schemes, Temperature_coupling (TC=0 default,
+:4310), free-slip specular walls, external body force.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.lattice import D2Q9_REST_FIRST
+
+LAT = D2Q9_REST_FIRST
+Q = 9
+C = np.asarray(LAT.c)          # (9, 2) (cx, cy), rest first
+W = np.asarray(LAT.w)
+OPP = np.asarray(LAT.opp)
+
+# MRT transform of the combustion module (reference :313-336) — rest-first
+# ordering, applied to rest-first population vectors (consistent, unlike the
+# pulsatile module's quirk).
+M_MAT = np.array([
+    [1, 1, 1, 1, 1, 1, 1, 1, 1],
+    [-4, -1, -1, -1, -1, 2, 2, 2, 2],
+    [4, -2, -2, -2, -2, 1, 1, 1, 1],
+    [0, 1, 0, -1, 0, 1, -1, -1, 1],
+    [0, -2, 0, 2, 0, 1, -1, -1, 1],
+    [0, 0, 1, 0, -1, 1, 1, -1, -1],
+    [0, 0, -2, 0, 2, 1, 1, -1, -1],
+    [0, 1, -1, 1, -1, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0, 1, -1, 1, -1]], dtype=np.float64)
+M_INV = np.linalg.inv(M_MAT)
+
+
+@dataclasses.dataclass(frozen=True)
+class CombustionParams:
+    """Defaults = the reference's global config block (:52-254)."""
+
+    nx: int = 420
+    ny: int = 80
+    tau_flow: float = 1.0
+    tau_O2: float = 1.021
+    tau_CO2: float = 0.973
+    tau_T: float = 1.198
+    tau_T_solid: float = 0.583
+    D_O2: float = 0.1568739
+    D_CO2: float = 0.1425984
+    cp_gas: float = 356.16739
+    cp_solid: float = 235.4266
+    rho_gas: float = 1.0
+    rho_solid: float = 556.694
+    M_O2: float = 32.0
+    M_CO2: float = 44.0
+    R_id: float = 2701.8026
+    A_pre: float = 1.992343666625e5     # Prae_exp_factor
+    E_akt: float = 5.511041294e4
+    delta_hr: float = 1.8132054257e5
+    stoich_O2: float = -1.0
+    u_inlet: float = 0.00011741168      # u_lb
+    T_inlet: float = 1.0
+    Y_O2_inlet: float = 0.22
+    Y_CO2_inlet: float = 0.0
+    rho_inlet: float = 1.0
+    T_ini: float = 1.0
+    Y_O2_ini: float = 0.0
+    Y_CO2_ini: float = 0.0
+    w_e: float = 1.0
+    w_eps: float = 1.0
+    w_q: float = 1.0
+    solid_reaction: bool = True
+    conjugate_heat: bool = True          # LI2014
+    with_obstacles: bool = True
+    inlet_parabolic: bool = True
+
+    @property
+    def sigma(self):
+        """(ρ c_p)_solid / (ρ c_p)_gas (reference :106)."""
+        return (self.rho_solid * self.cp_solid) / (self.rho_gas * self.cp_gas)
+
+    def S_vectors(self):
+        """Per-population MRT relaxation diagonals (reference :340-346)."""
+        S = np.array([1, self.w_e, self.w_eps, 1, self.w_q, 1, self.w_q,
+                      1 / self.tau_flow, 1 / self.tau_flow])
+        SO2 = np.array([1, 1, 1, 1, 1, 1, 1, 1 / self.tau_O2, 1 / self.tau_O2])
+        SCO2 = np.array([1, 1, 1, 1, 1, 1, 1, 1 / self.tau_CO2, 1 / self.tau_CO2])
+        ST = np.full(9, 1 / self.tau_T)
+        STs = np.full(9, 1 / self.tau_T_solid)
+        return S, SO2, SCO2, ST, STs
+
+
+# ─── geometry ──────────────────────────────────────────────────────────────
+BULK, WALL, OBSTACLE = 0, 1, 3
+
+
+def build_geometry(p: CombustionParams):
+    """Flags + static momentum-exchange populations (reference iniCavity
+    Inflow_Outflow branch :3883-3943 and the 4 Xu-2018 obstacles :3995-4029)."""
+    ny, nx = p.ny, p.nx
+    flags = np.full((ny, nx), BULK, dtype=np.int8)
+    flags[0, :] = WALL
+    flags[-1, :] = WALL
+    flags[:, 0] = WALL                       # inlet column (momentum exchange)
+    if p.with_obstacles:
+        ys = slice(int(ny * 3.0 / 8.0), int(np.ceil(ny * 5.0 / 8.0)))
+        for x0, x1 in ((100, 121), (141, 161), (181, 201), (221, 241)):
+            ospec = np.zeros((ny, nx), dtype=bool)
+            ospec[ys, x0:x1] = True
+            flags[ospec] = OBSTACLE
+
+    # inlet profile (reference :4286-4306)
+    yy = np.arange(ny) / (ny - 1.0)
+    ux_in = (4.0 * yy * (1.0 - yy) * p.u_inlet if p.inlet_parabolic
+             else np.full(ny, p.u_inlet))
+    f_solid = np.zeros((Q, ny, nx))
+    for k in range(Q):
+        f_solid[k, :, 0] = -6.0 * W[k] * 1.0 * (C[k, 0] * ux_in)
+    # corners are plain walls
+    f_solid[:, 0, 0] = 0.0
+    f_solid[:, -1, 0] = 0.0
+    return flags, f_solid
+
+
+class CombustionState(NamedTuple):
+    f: jnp.ndarray          # flow
+    gO2: jnp.ndarray
+    gCO2: jnp.ndarray
+    gT: jnp.ndarray
+    F_O2_prev: jnp.ndarray  # previous forcing terms (temporal derivative)
+    F_CO2_prev: jnp.ndarray
+    F_T_prev: jnp.ndarray
+    g_coll: jnp.ndarray     # LI2014 interface post-collision store
+
+
+def initialize(p: CombustionParams, dtype=jnp.float64, f_restart=None,
+               T_solid=None, flags=None):
+    """reference iniLattice (:535-564): f at rest equilibrium (or restart),
+    scalars at their initial values.  ``T_solid`` optionally initialises the
+    obstacle temperature separately (reference T_ini2 with obstacles_temp)."""
+    ny, nx = p.ny, p.nx
+    wk = W[:, None, None]
+    f = (np.broadcast_to(wk * p.rho_inlet, (Q, ny, nx)).copy()
+         if f_restart is None else np.asarray(f_restart))
+    gO2 = np.broadcast_to(wk * p.Y_O2_ini, (Q, ny, nx)).copy()
+    gCO2 = np.broadcast_to(wk * p.Y_CO2_ini, (Q, ny, nx)).copy()
+    gT = np.broadcast_to(wk * p.T_ini, (Q, ny, nx)).copy()
+    if T_solid is not None:
+        if flags is None:
+            flags, _ = build_geometry(p)
+        gT = np.where((flags == OBSTACLE)[None], wk * T_solid, gT)
+    z = np.zeros((Q, ny, nx))
+    return CombustionState(
+        *(jnp.asarray(a, dtype) for a in (f, gO2, gCO2, gT, z, z, z, z)))
+
+
+# ─── static link/interface tables ──────────────────────────────────────────
+def _shift(a, cx, cy):
+    """Value at (y+cy, x+cx), wrapping (callers mask edges)."""
+    return np.roll(a, (-cy, -cx), axis=(0, 1)) if a.ndim == 2 else \
+        np.roll(a, (-cy, -cx), axis=(1, 2))
+
+
+def build_static_tables(flags, p: CombustionParams):
+    """Per-(cell, k) link classification + interface normal factors.
+
+    The normal-vector classification (reference get_normal_vect,
+    :1371-1632) keys on ``erg`` = Σ of the direction indices k_lok whose
+    neighbour is a reactive obstacle; for the axis directions the normal is
+    simply −c_k.  The erg-lookup tables below transcribe the reference's
+    case analysis for the diagonal directions verbatim."""
+    ny, nx = flags.shape
+    is_bulk = flags == BULK
+    is_wall = flags == WALL
+    is_obst = flags == OBSTACLE
+
+    nb_obst = np.zeros((Q, ny, nx), dtype=bool)
+    nb_wall = np.zeros((Q, ny, nx), dtype=bool)
+    nb_bulk = np.zeros((Q, ny, nx), dtype=bool)
+    for k in range(Q):
+        cx, cy = int(C[k, 0]), int(C[k, 1])
+        nb_obst[k] = _shift(is_obst, cx, cy)
+        nb_wall[k] = _shift(is_wall, cx, cy)
+        nb_bulk[k] = _shift(is_bulk, cx, cy)
+
+    erg = np.zeros((ny, nx), dtype=np.int32)
+    for k in range(Q):
+        erg += k * nb_obst[k]
+
+    # erg → normal lookup per diagonal direction (k: [table of (erg, n)]);
+    # entries guarded on flag(des) use the +x (k=6) / +y (k=7) neighbour
+    tbl5 = {14: (-1, 0), 13: (0, -1), 23: (0, -1), 22: (-1, -1), 25: (-1, 0),
+            5: (-1, -1), 8: (-1, -1), 20: (-1, -1), 17: (-1, -1),
+            33: (-1, -1), 35: (0, -1), 32: (-1, -1), 34: (-1, 0)}
+    tbl6 = {16: (1, 0), 13: (0, -1), 23: (1, -1), 28: (1, 0), 6: (1, -1),
+            11: (1, -1), 17: (1, -1), 33: (0, -1), 35: (1, -1),
+            32: (1, -1), 34: (1, 0)}
+    tbl6_des = {22: {True: (0, -1), False: (1, -1)}}   # des = +x neighbour
+    tbl7 = {19: (0, 1), 16: (1, 0), 28: (1, 1), 25: (0, 1), 7: (1, 1),
+            14: (1, 1), 22: (1, 1), 33: (0, 1), 35: (1, 1), 32: (1, 0),
+            34: (1, 1)}
+    tbl7_des = {23: {True: (1, 0), False: (1, 1)}}     # des = +y neighbour
+    tbl8 = {14: (-1, 0), 19: (0, 1), 22: (-1, 0), 28: (0, 1), 25: (-1, 1),
+            8: (-1, 1), 13: (-1, 1), 20: (-1, 1), 23: (-1, 1), 33: (-1, 1),
+            35: (0, 1), 32: (-1, 0), 34: (-1, 1)}
+
+    ck_n = np.zeros((Q, ny, nx))
+    des_x = _shift(is_obst, 1, 0)    # flag at +x neighbour is obstacle
+    des_y = _shift(is_obst, 0, 1)
+    for k in range(1, Q):
+        n = np.zeros((2, ny, nx))
+        if k in (1, 2, 3, 4):
+            n[0] = -C[k, 0]
+            n[1] = -C[k, 1]
+        else:
+            tbl = {5: tbl5, 6: tbl6, 7: tbl7, 8: tbl8}[k]
+            for e, (nxv, nyv) in tbl.items():
+                m = erg == e
+                n[0][m] = nxv
+                n[1][m] = nyv
+            if k == 6:
+                for e, d in tbl6_des.items():
+                    for tv, (nxv, nyv) in d.items():
+                        m = (erg == e) & (des_x == tv)
+                        n[0][m] = nxv
+                        n[1][m] = nyv
+            if k == 7:
+                for e, d in tbl7_des.items():
+                    for tv, (nxv, nyv) in d.items():
+                        m = (erg == e) & (des_y == tv)
+                        n[0][m] = nxv
+                        n[1][m] = nyv
+        ck_n[k] = C[k, 0] * n[0] + C[k, 1] * n[1]
+
+    return dict(
+        is_bulk=is_bulk, is_wall=is_wall, is_obst=is_obst,
+        nb_obst=nb_obst, nb_wall=nb_wall, nb_bulk=nb_bulk, ck_n=ck_n)
+
+
+# ─── collision pieces ──────────────────────────────────────────────────────
+def _mrt(pop, eq, S):
+    """pop − M⁻¹ diag(S) M (pop − eq), vectorised over the lattice."""
+    A = jnp.asarray(M_INV @ np.diag(S) @ M_MAT, dtype=pop.dtype)
+    dneq = (pop - eq).reshape(Q, -1)
+    return pop - (A @ dneq).reshape(pop.shape)
+
+
+def _equilibrium(amp, u, usqr):
+    cj = jnp.asarray(C, dtype=amp.dtype)
+    wj = jnp.asarray(W, dtype=amp.dtype)
+    cu = jnp.einsum("kd,dyx->kyx", cj, u)
+    return amp[None] * wj[:, None, None] * (
+        1.0 + 3.0 * cu + 4.5 * cu * cu - usqr[None])
+
+
+def _central_gradient(q, tab):
+    """∂x, ∂y with one-sided 2nd-order differences next to solids and
+    zeroed x-gradient at the outlet (reference Mass_fraction_forcing,
+    :643-800)."""
+    E = jnp.roll(q, -1, 1)
+    Wq = jnp.roll(q, 1, 1)
+    Nq = jnp.roll(q, -1, 0)
+    Sq = jnp.roll(q, 1, 0)
+    gx = (E - Wq) / 2.0
+    gy = (Nq - Sq) / 2.0
+    solid = ~tab["is_bulk"]
+    s_n = jnp.asarray(_shift(solid, 0, 1))
+    s_s = jnp.asarray(_shift(solid, 0, -1))
+    s_e = jnp.asarray(_shift(solid, 1, 0))
+    s_w = jnp.asarray(_shift(solid, -1, 0))
+    NN = jnp.roll(q, -2, 0)
+    SS = jnp.roll(q, 2, 0)
+    EE = jnp.roll(q, -2, 1)
+    WW = jnp.roll(q, 2, 1)
+    gy = jnp.where(s_s, (-3.0 * q + 4.0 * Nq - NN) / 2.0, gy)
+    gy = jnp.where(s_n, (3.0 * q - 4.0 * Sq + SS) / 2.0, gy)
+    gx = jnp.where(s_w, (-3.0 * q + 4.0 * E - EE) / 2.0, gx)
+    gx = jnp.where(s_e, (3.0 * q - 4.0 * Wq + WW) / 2.0, gx)
+    return gx, gy
+
+
+# ─── macroscopic fields ────────────────────────────────────────────────────
+def macro_flow(f):
+    rho = jnp.sum(f, axis=0)
+    cj = jnp.asarray(C, dtype=f.dtype)
+    mom = jnp.einsum("kd,kyx->dyx", cj, f)
+    return rho, mom / rho[None]
+
+
+def macro_scalar(g):
+    return jnp.sum(g, axis=0)
+
+
+# ─── boundary-condition phase (writes on incoming populations) ─────────────
+def _abb_triplet(g, amp, rows_or_cols, incoming, axis_col):
+    """Anti-bounce-back Dirichlet/zero-gradient fix: for each (k_in, k_out)
+    pair set g[k_in] = −g[k_out] + 2 t[k_out_weight] amp at the given line."""
+    for k_in, k_w, k_out in incoming:
+        line = g[k_in, rows_or_cols, :] if axis_col == 0 else g[k_in, :, rows_or_cols]
+        src = g[k_out, rows_or_cols, :] if axis_col == 0 else g[k_out, :, rows_or_cols]
+        val = -src + 2.0 * float(W[k_w]) * amp
+        if axis_col == 0:
+            g = g.at[k_in, rows_or_cols, :].set(val)
+        else:
+            g = g.at[k_in, :, rows_or_cols].set(val)
+    return g
+
+
+def apply_scalar_bcs(g, amp_inlet, p: CombustionParams):
+    """Species/temperature BCs (reference Boundaries_Comp /
+    Boundaries_Temp_Reaktion, :2092-2360): zero-gradient anti-bounce-back at
+    y=1 and y=ny−2, Dirichlet at x=1, zero-gradient at the outlet column.
+    (The reference's species outlet *corner* equilibrium fix is folded into
+    the plain zero-gradient here; the corners sit inside wall rows whose
+    values feed nothing downstream but the corner cells themselves.)"""
+    ny, nx = g.shape[1:]
+    # top wall row ny−2: extrapolate from below (k 7,4,8 ← 5,2,6)
+    amp_top = (4.0 * macro_scalar(g)[ny - 3, :] - macro_scalar(g)[ny - 4, :]) / 3.0
+    g = _abb_triplet(g, amp_top, ny - 2,
+                     [(7, 7, 5), (4, 2, 2), (8, 6, 6)], 0)
+    amp_bot = (4.0 * macro_scalar(g)[2, :] - macro_scalar(g)[3, :]) / 3.0
+    g = _abb_triplet(g, amp_bot, 1,
+                     [(6, 8, 8), (2, 4, 4), (5, 7, 7)], 0)
+    # inlet Dirichlet at x=1 (k 5,1,8 ← 7,3,6)
+    g = _abb_triplet(g, amp_inlet, 1,
+                     [(5, 7, 7), (1, 3, 3), (8, 6, 6)], 1)
+    # outlet zero-gradient at x=nx−1 (k 6,3,7 ← 8,1,5)
+    amp_out = (4.0 * macro_scalar(g)[:, nx - 2] - macro_scalar(g)[:, nx - 3]) / 3.0
+    g = _abb_triplet(g, amp_out, nx - 1,
+                     [(6, 8, 8), (3, 1, 1), (7, 5, 5)], 1)
+    return g
+
+
+def apply_flow_outlet(f, p: CombustionParams):
+    """Second-order extrapolated flow outlet with nonequilibrium
+    reconstruction of f3, f6, f7 + corner formulas (reference Boundaries,
+    :1990-2091)."""
+    ny, nx = f.shape[1:]
+
+    def col_macro(col):
+        r = jnp.sum(col, axis=0)
+        cj = jnp.asarray(C, dtype=col.dtype)
+        mom = jnp.einsum("kd,ky->dy", cj, col)
+        return r, mom / r[None]
+
+    rho1, u1 = col_macro(f[:, :, nx - 2])
+    rho2, u2 = col_macro(f[:, :, nx - 3])
+    rho = (4.0 * rho1 - rho2) / 3.0
+    ux = (4.0 * u1[0] - u2[0]) / 3.0
+    uy = (4.0 * u1[1] - u2[1]) / 3.0
+    usqr = ux * ux + uy * uy        # NOTE reference uses un-scaled u² here
+    feq = []
+    for k in range(Q):
+        cu = C[k, 0] * ux + C[k, 1] * uy
+        feq.append(rho * float(W[k]) * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usqr))
+
+    col = f[:, :, nx - 1]
+    f3 = feq[3] + 2.0 / 3.0 * rho * ux + 2.0 / 3.0 * (
+        feq[3] - col[1] + feq[7] - col[5] + feq[6] - col[8])
+    t367 = float(W[3] + W[7] + W[6])
+    t76 = float(W[7] + W[6])
+    e1 = (rho * ux - col[1] - col[5] - col[8] + feq[6] + feq[3] + feq[7]) / t367
+    e2 = (rho * uy - col[2] - col[5] + col[8] + col[4] - feq[6] + feq[7]) / t76
+    f6 = feq[6] - float(W[6]) * (e1 - e2)
+    f7 = feq[7] - float(W[7]) * (e1 + e2)
+
+    rows = jnp.arange(ny)
+    interior = (rows > 1) & (rows < ny - 2)
+    f = f.at[3, :, nx - 1].set(jnp.where(interior, f3, col[3]))
+    f = f.at[6, :, nx - 1].set(jnp.where(interior, f6, col[6]))
+    f = f.at[7, :, nx - 1].set(jnp.where(interior, f7, col[7]))
+
+    # corners (reference :2052-2091)
+    for yc, sgn in ((1, -1.0), (ny - 2, 1.0)):
+        rl, uxl, uyl = rho[yc], ux[yc], uy[yc]
+        colc = f[:, yc, nx - 1]
+        if sgn < 0:     # bottom corner
+            f8 = (rl + rl * uxl - (2.0 / 3.0) * rl * uyl - colc[0]
+                  - 2.0 * (colc[1] + colc[4] + colc[8])) / 2.0
+        else:           # top corner
+            f8 = (rl + rl * uxl + (2.0 / 3.0) * rl * uyl - colc[0]
+                  - 2.0 * (colc[1] + colc[2] + colc[5])) / 2.0
+        f6c = f8 - rl * uxl / 6.0 + rl * uyl / 6.0
+        f3c = colc[1] - 2.0 / 3.0 * rl * uxl
+        f7c = colc[5] - rl * uxl / 6.0 + rl * uyl / 6.0
+        f = f.at[8, yc, nx - 1].set(f8)
+        f = f.at[6, yc, nx - 1].set(f6c)
+        f = f.at[3, yc, nx - 1].set(f3c)
+        f = f.at[7, yc, nx - 1].set(f7c)
+        if sgn < 0:
+            f = f.at[2, yc, nx - 1].set(colc[4] + 2.0 / 3.0 * rl * uyl)
+        else:
+            f = f.at[4, yc, nx - 1].set(colc[2] - 2.0 / 3.0 * rl * uyl)
+    return f
+
+
+def apply_conjugate_bc(gT, g_coll, tab, p: CombustionParams):
+    """LI2014 conjugate interface fix on incoming T populations
+    (reference Boundaries_Temp_Solid, :2361-2377): for each solid cell i with
+    bulk neighbour nb = i + c_k,
+      gin_T(i, opp k) = −((1−Σ)/(1+Σ)) g_coll(i,k) + (2/(1+Σ)) g_coll(nb, opp k)
+      gin_T(nb, k)    =  ((1−Σ)/(1+Σ)) g_coll(nb, opp k) + (2Σ/(1+Σ)) g_coll(i,k)
+    """
+    sig = p.sigma
+    a = (1.0 - sig) / (1.0 + sig)
+    b2 = 2.0 / (1.0 + sig)
+    c2 = 2.0 * sig / (1.0 + sig)
+    is_obst = jnp.asarray(tab["is_obst"])
+    for k in range(1, Q):
+        cx, cy = int(C[k, 0]), int(C[k, 1])
+        ko = int(OPP[k])
+        # solid cells with bulk neighbour in +k
+        link_solid = is_obst & jnp.asarray(tab["nb_bulk"][k])
+        gcoll_nb_opp = jnp.roll(g_coll[ko], (-cy, -cx), axis=(0, 1))
+        gT = gT.at[ko].set(jnp.where(
+            link_solid, -a * g_coll[k] + b2 * gcoll_nb_opp, gT[ko]))
+        # the paired write at the gas node nb (direction k): expressed at nb
+        # coords: gas cells with obstacle neighbour in −k direction
+        gas_link = jnp.asarray(tab["is_bulk"]) & jnp.roll(
+            is_obst, (cy, cx), axis=(0, 1))
+        gcoll_solid_k = jnp.roll(g_coll[k], (cy, cx), axis=(0, 1))
+        gT = gT.at[k].set(jnp.where(
+            gas_link, a * g_coll[ko] + c2 * gcoll_solid_k, gT[k]))
+    return gT
+
+
+# ─── reaction ──────────────────────────────────────────────────────────────
+def interface_mass_fractions(T, YO2, YCO2, tab, p: CombustionParams):
+    """Y at the reactive interface per direction (reference
+    Reaction_Interface, :1633-1652), evaluated at every gas cell (masked by
+    the obstacle-link tables downstream)."""
+    kr = p.A_pre * jnp.exp(-p.E_akt / (p.R_id * T))
+    ck_n = jnp.asarray(tab["ck_n"], dtype=T.dtype)
+    YO2_int = []
+    YCO2_int = []
+    for k in range(Q):
+        denom = p.D_O2 + 0.5 * ck_n[k] * p.stoich_O2 * kr
+        yo = p.D_O2 * YO2 / denom
+        yc = YCO2 - (0.5 * ck_n[k] * kr * yo * p.M_CO2) / (p.D_CO2 * p.M_O2)
+        YO2_int.append(yo)
+        YCO2_int.append(yc)
+    return jnp.stack(YO2_int), jnp.stack(YCO2_int)
+
+
+# ─── streaming ─────────────────────────────────────────────────────────────
+def _pull(post, k):
+    cx, cy = int(C[k, 0]), int(C[k, 1])
+    return jnp.roll(post[k], (cy, cx), axis=(0, 1))
+
+
+def stream_flow(post, f_solid, tab):
+    """Flow streaming: BB with momentum exchange at walls/obstacles
+    (reference stream/streamFlow :1679-1769).  Solid-cell outputs are
+    irrelevant and zeroed."""
+    out = [post[0]]
+    for k in range(1, Q):
+        ko = int(OPP[k])
+        # BB at cell j for direction k comes from j's own link in direction
+        # opp[k] hitting a solid nb = j + c_opp[k] = j − c_k:
+        #   fout(j, k) = post(j, opp k) + f_solid(nb, opp k)
+        nb_solid = jnp.asarray(tab["nb_obst"][ko] | tab["nb_wall"][ko])
+        fs_nb = jnp.asarray(
+            _shift(np.asarray(f_solid[ko]), int(C[ko, 0]), int(C[ko, 1])),
+            dtype=post.dtype)
+        pulled = _pull(post, k)
+        out.append(jnp.where(nb_solid, post[ko] + fs_nb, pulled))
+    res = jnp.stack(out)
+    return res * jnp.asarray(tab["is_bulk"], dtype=post.dtype)[None]
+
+
+def stream_species(post, Y_int_k, tab, p: CombustionParams):
+    """Species streaming: plain BB at walls; anti-bounce-back Dirichlet with
+    the interfacial mass fraction at obstacle links (reference streamKonz,
+    :1770-1838)."""
+    out = [post[0]]
+    for k in range(1, Q):
+        ko = int(OPP[k])
+        pulled = _pull(post, k)
+        nb_wall = jnp.asarray(tab["nb_wall"][ko])
+        nb_obst = jnp.asarray(tab["nb_obst"][ko])
+        bb = post[ko]
+        abb = -post[ko] + 2.0 * float(W[ko]) * Y_int_k[ko]
+        val = jnp.where(nb_wall, bb, pulled)
+        if p.solid_reaction:
+            val = jnp.where(nb_obst, abb, val)
+        else:
+            val = jnp.where(nb_obst, bb, val)
+        out.append(val)
+    res = jnp.stack(out)
+    return res * jnp.asarray(tab["is_bulk"], dtype=post.dtype)[None]
+
+
+def stream_temperature(post_gas, post_solid, gT_old, tab, p: CombustionParams):
+    """Temperature streaming across gas and solid (reference streamTemp
+    :1839-1934, streamTemp_solid :1935-1970): interface links are NOT
+    streamed (their post-collision values go to g_coll; the conjugate BC
+    fills the incoming entries next step — old values are kept here exactly
+    like the reference's unwritten buffer entries).  Gas→wall links stream
+    *into* the wall (lost, reference behaviour); wall rows are refreshed by
+    the zero-gradient BCs."""
+    is_bulk = jnp.asarray(tab["is_bulk"])
+    is_obst = jnp.asarray(tab["is_obst"])
+    post = jnp.where(is_bulk[None], post_gas, post_solid)
+    g_coll_new = jnp.zeros_like(post_gas)
+    out = [post[0]]
+    for k in range(1, Q):
+        ko = int(OPP[k])
+        cx, cy = int(C[k, 0]), int(C[k, 1])
+        pulled = _pull(post, k)
+        # links whose upstream is across a gas/solid interface: keep old
+        up_gas_iface = jnp.asarray(tab["is_obst"] & tab["nb_bulk"][k])    # at upstream coords?
+        # receiving cell j: upstream j−c_k; interface if (upstream obst & j bulk) or (upstream bulk & j obst)
+        up_is_obst = jnp.roll(is_obst, (cy, cx), axis=(0, 1))
+        up_is_bulk = jnp.roll(is_bulk, (cy, cx), axis=(0, 1))
+        iface = (up_is_obst & is_bulk) | (up_is_bulk & is_obst)
+        if p.conjugate_heat:
+            val = jnp.where(iface, gT_old[k], pulled)
+        else:
+            val = pulled
+        out.append(val)
+        # store post-collision populations pointing across the interface
+        sender_iface = ((is_bulk & jnp.asarray(tab["nb_obst"][k]))
+                        | (is_obst & jnp.asarray(tab["nb_bulk"][k])))
+        g_coll_new = g_coll_new.at[k].set(jnp.where(sender_iface, post[k], 0.0))
+    return jnp.stack(out), g_coll_new
+
+
+# ─── full step ─────────────────────────────────────────────────────────────
+def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
+              first_step=False):
+    """Build the jitted step function for a static geometry."""
+    if flags is None:
+        flags, f_solid = build_geometry(p)
+    tab = build_static_tables(flags, p)
+    S, SO2, SCO2, ST, STs = p.S_vectors()
+
+    def step(state: CombustionState):
+        f, gO2, gCO2, gT = state.f, state.gO2, state.gCO2, state.gT
+
+        # ── phase 1: BC fixes on incoming populations ──
+        f = apply_flow_outlet(f, p)
+        if konv:
+            gO2 = apply_scalar_bcs(gO2, p.Y_O2_inlet, p)
+            gCO2 = apply_scalar_bcs(gCO2, p.Y_CO2_inlet, p)
+            gT = apply_scalar_bcs(gT, p.T_inlet, p)
+            if p.conjugate_heat and not first_step:
+                gT = apply_conjugate_bc(gT, state.g_coll, tab, p)
+
+        # ── phase 2: macro ──
+        rho, u = macro_flow(f)
+        usqr = 1.5 * (u[0] ** 2 + u[1] ** 2)
+        YO2 = macro_scalar(gO2)
+        YCO2 = macro_scalar(gCO2)
+        T = macro_scalar(gT)
+
+        # ── phase 3: collisions ──
+        feq = _equilibrium(rho, u, usqr)
+        post_f = _mrt(f, feq, S)
+
+        if konv:
+            # species with thermal-expansion forcing (:643-800, :2680-2769)
+            grho_x, grho_y = _central_gradient(rho, tab)
+            gux, _ = _central_gradient(u[0], tab)
+            _, guy = _central_gradient(u[1], tab)
+            gY1x, gY1y = _central_gradient(YO2, tab)
+            gY2x, gY2y = _central_gradient(YCO2, tab)
+            # outlet column: zero x-gradients (:755-760)
+            outlet = jnp.arange(p.nx) == p.nx - 1
+            gY1x = jnp.where(outlet[None, :], 0.0, gY1x)
+            gY2x = jnp.where(outlet[None, :], 0.0, gY2x)
+            gux = jnp.where(outlet[None, :], 0.0, gux)
+            div_u = gux + guy
+            F_O2 = (p.D_O2 / rho) * (gY1x * grho_x + gY1y * grho_y) + YO2 * div_u
+            F_CO2 = (p.D_CO2 / rho) * (gY2x * grho_x + gY2y * grho_y) + YCO2 * div_u
+
+            cj = jnp.asarray(C, dtype=f.dtype)
+            wj = jnp.asarray(W, dtype=f.dtype)
+            cu = jnp.einsum("kd,dyx->kyx", cj, u)
+            FO2_k = wj[:, None, None] * F_O2[None] * (
+                1.0 + 3.0 * cu * ((p.tau_O2 - 0.5) / p.tau_O2))
+            FCO2_k = wj[:, None, None] * F_CO2[None] * (
+                1.0 + 3.0 * cu * ((p.tau_CO2 - 0.5) / p.tau_CO2))
+
+            geqO2 = _equilibrium(YO2, u, usqr)
+            geqCO2 = _equilibrium(YCO2, u, usqr)
+            post_O2 = (_mrt(gO2, geqO2, SO2) + FO2_k
+                       + 0.5 * (FO2_k - state.F_O2_prev))
+            post_CO2 = (_mrt(gCO2, geqCO2, SCO2) + FCO2_k
+                        + 0.5 * (FCO2_k - state.F_CO2_prev))
+
+            # temperature with reaction heat release (:2770-2892)
+            YO2_int, YCO2_int = interface_mass_fractions(T, YO2, YCO2, tab, p)
+            # only axis directions k=1..4 whose neighbour is an obstacle
+            # contribute (reference sums Y_O2_interface[1..4], :2824)
+            y_sum = jnp.zeros_like(T)
+            for k in (1, 2, 3, 4):
+                y_sum = y_sum + jnp.where(
+                    jnp.asarray(tab["nb_obst"][k]), YO2_int[k], 0.0)
+            F_r = p.A_pre * jnp.exp(-p.E_akt / (p.R_id * T)) * y_sum * rho / p.M_O2
+            F_T = F_r * p.delta_hr / (rho * p.cp_gas)
+            FT_k = wj[:, None, None] * F_T[None] * (
+                1.0 + 3.0 * cu * ((p.tau_T - 0.5) / p.tau_T))
+            geqT = _equilibrium(T, u, usqr)
+            post_T = (_mrt(gT, geqT, ST) + FT_k
+                      + 0.5 * (FT_k - state.F_T_prev))
+            # solid temperature (rest-frame equilibrium, :2958-3017)
+            geqT_s = T[None] * jnp.asarray(W, f.dtype)[:, None, None]
+            post_T_solid = _mrt(gT, geqT_s, STs)
+        else:
+            post_O2, post_CO2 = gO2, gCO2
+            FO2_k = state.F_O2_prev
+            FCO2_k = state.F_CO2_prev
+            FT_k = state.F_T_prev
+            post_T = gT
+            post_T_solid = gT
+
+        # ── phase 4: streaming ──
+        f2 = stream_flow(post_f, f_solid, tab)
+        if konv:
+            gO2_2 = stream_species(post_O2, YO2_int, tab, p)
+            gCO2_2 = stream_species(post_CO2, YCO2_int, tab, p)
+            gT_2, g_coll = stream_temperature(post_T, post_T_solid, gT, tab, p)
+        else:
+            gO2_2, gCO2_2, gT_2, g_coll = gO2, gCO2, gT, state.g_coll
+
+        return CombustionState(f2, gO2_2, gCO2_2, gT_2,
+                               FO2_k, FCO2_k, FT_k, g_coll)
+
+    return step, tab
+
+
+@partial(jax.jit, static_argnames=("p", "n_steps", "konv", "first_step"))
+def run(state: CombustionState, p: CombustionParams, n_steps: int,
+        konv: bool = True, first_step: bool = False):
+    step, _ = make_step(p, konv=konv, first_step=first_step)
+
+    def body(carry, _):
+        return step(carry), None
+    if first_step and n_steps > 0:
+        state = step(state)
+        n_steps -= 1
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state
+
+
+# ─── diagnostics ───────────────────────────────────────────────────────────
+def kinetic_energy(state, tab):
+    rho, u = macro_flow(state.f)
+    m = jnp.asarray(tab["is_bulk"])
+    e = jnp.sum(jnp.where(m[None], u, 0.0) ** 2)
+    return 0.5 * e / m.size
+
+
+def thermal_energy(state, tab, p: CombustionParams):
+    """Σ ρ c_p T over cells (reference total_Energy, :3331-3355)."""
+    T = macro_scalar(state.gT)
+    rho, _ = macro_flow(state.f)
+    rc = jnp.where(jnp.asarray(tab["is_obst"]),
+                   p.rho_solid * p.cp_solid, rho * p.cp_gas)
+    m = jnp.asarray(tab["is_bulk"] | tab["is_obst"])
+    return jnp.sum(jnp.where(m, rc * T, 0.0))
+
+
+def mass_flux_audit(state, tab, p: CombustionParams):
+    """Inlet/outlet mass-flux totals (reference Conservation_check_output,
+    :3179-3330, reduced to the headline totals)."""
+    rho, u = macro_flow(state.f)
+    inflow = jnp.sum((rho * u[0])[:, 1] * jnp.asarray(tab["is_bulk"])[:, 1])
+    outflow = jnp.sum((rho * u[0])[:, -1] * jnp.asarray(tab["is_bulk"])[:, -1])
+    return inflow, outflow
+
+
+def run_staged(state: CombustionState, p: CombustionParams,
+               max_flow_steps: int = 100000, check_every: int = 500,
+               tol: float = 1e-5, n_consecutive: int = 4,
+               scalar_steps: int = 0, log=None):
+    """Two-stage convergence-gated run (reference :4394-4412): advance the
+    flow alone until the kinetic energy deviates < tol for ``n_consecutive``
+    consecutive checks, then enable species/temperature transport."""
+    _, tab = make_step(p, konv=False)
+    e_prev = float(kinetic_energy(state, tab))
+    hits = 0
+    done = 0
+    while done < max_flow_steps:
+        state = run(state, p, check_every, konv=False)
+        done += check_every
+        e = float(kinetic_energy(state, tab))
+        dev = abs(e - e_prev) / max(abs(e), 1e-300)
+        if log:
+            log(done, e, dev)
+        hits = hits + 1 if dev < tol else 0
+        e_prev = e
+        if hits >= n_consecutive:
+            break
+    if scalar_steps > 0:
+        state = run(state, p, 1, konv=True, first_step=True)
+        state = run(state, p, scalar_steps - 1, konv=True)
+    return state, done

@@ -1,0 +1,102 @@
+"""Combustion solver tests (scaled-down Xu-2018 channel)."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiphase_lbm_tpu.models import combustion as cb
+
+
+@pytest.fixture(scope="module")
+def small():
+    p = cb.CombustionParams(nx=260, ny=48)
+    flags, f_solid = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    return p, flags, f_solid, tab
+
+
+def test_geometry(small):
+    p, flags, f_solid, tab = small
+    assert (flags[:, 0] == cb.WALL).all()          # inlet momentum-exchange wall
+    assert (flags[0] == cb.WALL).all() and (flags[-1] == cb.WALL).all()
+    assert (flags == cb.OBSTACLE).sum() > 0
+    # inlet populations encode the parabolic profile (peak mid-channel)
+    k_east = 1
+    prof = -f_solid[k_east, :, 0] / (6.0 * cb.W[k_east])
+    assert prof.max() == pytest.approx(p.u_inlet, rel=1e-3)
+    assert prof[1] < prof[p.ny // 2]
+
+
+def test_interface_normals_flat_faces(small):
+    p, flags, f_solid, tab = small
+    # gas cell immediately left of the first obstacle (x=99): its +x axis
+    # link crosses into the obstacle; normal must be -c_1 = (-1, 0)
+    ys = int(p.ny * 3 / 8) + 2
+    assert tab["nb_obst"][1][ys, 99]
+    # ck_n for k=1 is c.(-c) = -1 on flat faces
+    assert tab["ck_n"][1][ys, 99] == pytest.approx(-1.0)
+
+
+def test_flow_converges_and_conserves_flux(small):
+    p, flags, f_solid, tab = small
+    st = cb.initialize(p)
+    st, done = cb.run_staged(st, p, max_flow_steps=20000, check_every=500,
+                             tol=1e-4)
+    rho, u = cb.macro_flow(st.f)
+    ux = np.asarray(u[0])
+    bulk = tab["is_bulk"]
+    assert np.isfinite(ux[bulk]).all()
+    # inlet profile approximately parabolic with the target peak
+    prof = ux[:, 2]
+    assert prof[p.ny // 2] == pytest.approx(p.u_inlet, rel=0.25)
+    # mass flux audit: inflow ~ outflow
+    fin, fout = cb.mass_flux_audit(st, tab, p)
+    assert float(fin) > 0
+    assert abs(float(fout) - float(fin)) / float(fin) < 0.05
+
+
+def test_species_advect_from_inlet(small):
+    p, flags, f_solid, tab = small
+    st = cb.initialize(p)
+    st = cb.run(st, p, 1500, konv=False)
+    st = cb.run(st, p, 1, konv=True, first_step=True)
+    st = cb.run(st, p, 800, konv=True)
+    Y = np.asarray(cb.macro_scalar(st.gO2))
+    # upstream bulk cell saturates toward the inlet value; far downstream
+    # still near zero
+    assert Y[p.ny // 2, 3] > 0.8 * p.Y_O2_inlet
+    assert Y[p.ny // 2, p.nx - 5] < 0.05
+    assert np.isfinite(Y[tab["is_bulk"]]).all()
+
+
+def test_conjugate_heat_and_reaction(small):
+    """Hot obstacle: conjugate transfer warms adjacent gas; the Arrhenius
+    surface reaction consumes O2 and produces CO2 at the interface."""
+    p, flags, f_solid, tab = small
+    st = cb.initialize(p, T_solid=2.0, flags=flags)
+    st = cb.run(st, p, 400, konv=False)
+    st = cb.run(st, p, 1, konv=True, first_step=True)
+    st = cb.run(st, p, 1200, konv=True)
+    T = np.asarray(cb.macro_scalar(st.gT))
+    Y1 = np.asarray(cb.macro_scalar(st.gO2))
+    Y2 = np.asarray(cb.macro_scalar(st.gCO2))
+    ys = int(p.ny * 3 / 8) + 2
+    # gas next to the hot obstacle is warmer than gas far from it
+    assert T[ys, 99] > T[2, 50] + 1e-4
+    assert np.isfinite(T[tab["is_bulk"]]).all()
+    # reaction produces CO2 somewhere
+    assert Y2[tab["is_bulk"]].max() > 1e-9
+    # solid stays hot-ish (huge heat capacity ratio)
+    assert np.asarray(cb.macro_scalar(st.gT))[tab["is_obst"]].min() > 1.5
+
+
+def test_no_reaction_mode(small):
+    p0, flags, f_solid, tab = small
+    p = dataclasses.replace(p0, solid_reaction=False)
+    st = cb.initialize(p, T_solid=2.0, flags=flags)
+    st = cb.run(st, p, 200, konv=False)
+    st = cb.run(st, p, 1, konv=True, first_step=True)
+    st = cb.run(st, p, 300, konv=True)
+    Y2 = np.asarray(cb.macro_scalar(st.gCO2))
+    assert abs(Y2[tab["is_bulk"]]).max() < 1e-12   # no CO2 source
