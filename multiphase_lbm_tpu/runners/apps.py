@@ -1,0 +1,390 @@
+"""Per-problem drivers, schema-compatible with the reference app modules.
+
+Each driver reads the reference's ``config_*.txt`` keys, runs the solver in
+chunks of the output cadence (one compiled ``lax.scan`` per chunk), and
+emits the same observables: ``sol_*.vtk`` with the module's exact field list,
+``energy.dat`` / ``mass.dat`` / ``contact_angle.dat`` /
+``spike_bubble_position.dat`` logs, and the final MLUPS line.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.config import lb_parameters, load_config, omega_from_tau
+from ..models import combustion as cb
+from ..models import fakhari as fk
+from ..models import hcz
+from ..models import pulsatile as pb
+from ..models import shan_chen as sc
+from ..models import shan_chen_rt as rt
+from .common import Driver
+
+
+def _num(cfg, key, default):
+    return float(cfg.get(key, default))
+
+
+def _int(cfg, key, default):
+    return int(float(cfg.get(key, default)))
+
+
+def _omega(cfg, N):
+    """tau override wins over (Re, ulb) (reference laplace2D.h:441-449)."""
+    tau = float(cfg.get("tau", -1.0))
+    if tau > 0:
+        nu, omega = omega_from_tau(tau)
+        dx = 1.0 / N
+        dt = dx * _num(cfg, "ulb", 0.1)
+    else:
+        nu, omega, dx, dt = lb_parameters(_num(cfg, "ulb", 0.1), N,
+                                          _num(cfg, "Re", 60.0))
+    return omega, dx, dt
+
+
+# ─── Shan-Chen Laplace droplet (reference laplace2D.h driver :405-512) ─────
+def run_sc_laplace2d(config, outdir, dtype=jnp.float64, max_steps=None):
+    cfg = load_config(config)
+    N = _int(cfg, "N", 100)
+    omega, dx, dt = _omega(cfg, N)
+    p = sc.SCParams(
+        omega=omega, a=_num(cfg, "a", 1.0), b=_num(cfg, "b", 4.0),
+        R=_num(cfg, "R", 1.0), TT0=_num(cfg, "TT0", 0.875),
+        rhol=_num(cfg, "rhol", 1.0), rhog=_num(cfg, "rhog", 0.1),
+        rho_w=_num(cfg, "rho_w", 0.12), gravity=_num(cfg, "gravity", 0.0))
+    f = sc.init_droplet(N, N, p, radius=10.0, dtype=dtype)
+    fluid = sc.geometry_periodic(N, N)
+    steps = max_steps or int(_num(cfg, "max_t", 10.0) / dt)
+    return _run_sc(p, f, fluid, steps, cfg, outdir, dx, dt, contact=False)
+
+
+# ─── Shan-Chen contact angle (reference contactAngle2D.h :644-807) ─────────
+def run_sc_contact_angle(config, outdir, dtype=jnp.float64, max_steps=None):
+    cfg = load_config(config)
+    N = _int(cfg, "N", 200)
+    omega, dx, dt = _omega(cfg, N)
+    p = sc.SCParams(
+        omega=omega, a=_num(cfg, "a", 1.0), b=_num(cfg, "b", 4.0),
+        R=_num(cfg, "R", 1.0), TT0=_num(cfg, "TT0", 0.875),
+        rhol=_num(cfg, "rhol", 0.265), rhog=_num(cfg, "rhog", 0.038),
+        rho_w=_num(cfg, "rhow", _num(cfg, "rho_w", 0.2)),
+        gravity=_num(cfg, "gravity", 0.0))
+    nx, ny = 2 * N, N
+    RR = _num(cfg, "RR", 100.0)
+    f = sc.init_droplet(nx, ny, p, radius=RR, center=(nx // 2, 5.0), dtype=dtype)
+    fluid = sc.geometry_channel_walls(nx, ny)
+    f = sc.apply_geometry(f, fluid)
+    steps = max_steps or int(_num(cfg, "max_t", 50.0) / dt)
+    return _run_sc(p, f, fluid, steps, cfg, outdir, dx, dt, contact=True)
+
+
+# ─── Shan-Chen layered flow (reference SC twoLayeredFlow2D.h :457-598) ─────
+def run_sc_two_layered(config, outdir, dtype=jnp.float64, max_steps=None):
+    cfg = load_config(config)
+    N = _int(cfg, "N", 100)
+    omega, dx, dt = _omega(cfg, N)
+    p0 = sc.SCParams(
+        omega=omega, a=_num(cfg, "a", 1.0), b=_num(cfg, "b", 4.0),
+        R=_num(cfg, "R", 1.0), TT0=_num(cfg, "TT0", 0.95),
+        rhol=_num(cfg, "rhol", 0.21), rhog=_num(cfg, "rhog", 0.067),
+        rho_w=_num(cfg, "rho_w", 0.067), psi_mode="const_g",
+        G=_num(cfg, "G", -1.0), gx_u=_num(cfg, "gx", 1e-8),
+        gy_u=_num(cfg, "gy", 0.0))
+    p = dataclasses.replace(p0, p_shift=sc.compute_p_shift(p0))
+    f = sc.init_layers(N, N, p, h_lower=_num(cfg, "h_lower", 0.3),
+                       w_int=_int(cfg, "w_int", 4), dtype=dtype)
+    fluid = sc.geometry_channel_walls(N, N)
+    f = sc.apply_geometry(f, fluid)
+    steps = max_steps or int(_num(cfg, "max_t", 200.0) / dt)
+    return _run_sc(p, f, fluid, steps, cfg, outdir, dx, dt, contact=False)
+
+
+def _run_sc(p, f, fluid, steps, cfg, outdir, dx, dt, contact):
+    ny, nx = fluid.shape
+    drv = Driver(outdir, nx * ny, out_freq=_int(cfg, "out_freq", 400),
+                 vtk_freq=_int(cfg, "vtk_freq", 400))
+    m0 = None
+    it = 0
+    while it < steps:
+        if drv.want_vtk(it):
+            rho = np.asarray(sc.density(f))
+            pr = np.asarray(sc.node_pressure(f, p))
+            F = np.asarray(sc.sc_force(sc.density(f), fluid, p))
+            flm = np.asarray(fluid)
+            drv.write_vtk(it, nx, ny, spacing=dx,
+                          scalars=[("Density", rho * flm),
+                                   ("Pressure", pr * flm)],
+                          vectors=[("Force", F)])
+        if drv.want_out(it):
+            e = float(sc.kinetic_energy(f, fluid, p)) * dx * dx / (dt * dt)
+            m = float(sc.total_mass(f, fluid))
+            if m0 is None:
+                m0 = m
+            drv.log_file("energy.dat").log(it * dt, e)
+            drv.log_file("mass.dat").log(it * dt, m)
+            if contact:
+                res = sc.contact_angle(np.asarray(sc.density(f)),
+                                       np.asarray(fluid), p.rhol, p.rhog)
+                if res:
+                    drv.log_file("contact_angle.dat").log(*res)
+        chunk = min(steps - it, max(1, min(drv.out_freq or steps,
+                                           drv.vtk_freq or steps)))
+        f = sc.run(f, fluid, p, chunk)
+        drv.clock.tick(chunk)
+        it += chunk
+    drv.finish()
+    return f
+
+
+# ─── Fakhari Young-Laplace (reference Young_Laplace2D.h :456-568) ──────────
+def run_young_laplace2d(config, outdir, dtype=jnp.float64, max_steps=None):
+    cfg = load_config(config)
+    N = _int(cfg, "N", 128)
+    p = fk.FakhariParams(
+        sigma=_num(cfg, "Sigma", 0.01), W=_num(cfg, "W", 4.0),
+        M=_num(cfg, "M", 0.02), rhol=_num(cfg, "RhoL", 0.001),
+        rhoh=_num(cfg, "RhoH", 1.0), tau=_num(cfg, "tau", 0.8))
+    state = fk.init_bubble(N, N, p, dtype=dtype)
+    steps = max_steps or _int(cfg, "tf", 10000)
+    drv = Driver(outdir, N * N, out_freq=_int(cfg, "out_freq", 1000),
+                 vtk_freq=_int(cfg, "vtk_freq", 1000))
+    m0 = None
+    it = 0
+    while it <= steps:
+        if drv.want_vtk(it):
+            C = np.asarray(fk.phase_field(state))
+            P = np.asarray(fk.pressure(state))
+            u = np.asarray(state[2])
+            drv.write_vtk(it, N, N,
+                          scalars=[("phi", C), ("Pressure", P)],
+                          vectors=[("velocity", u)],
+                          int_scalars=[("Flag", np.zeros((N, N), int))])
+        if drv.want_out(it):
+            e = float(fk.kinetic_energy(state))
+            m = float(fk.total_mass(state, p))
+            if m0 is None:
+                m0 = m
+            drv.log_file("energy.dat").log(it, e)
+            drv.log_file("mass.dat").log(it, m)
+        chunk = min(steps - it + 1, max(1, min(drv.out_freq or steps,
+                                               drv.vtk_freq or steps)))
+        if chunk <= 0:
+            break
+        state = fk.run(state, p, chunk)
+        drv.clock.tick(chunk)
+        it += chunk
+    drv.finish()
+    return state
+
+
+# ─── HCZ Rayleigh-Taylor (reference PF rayleighTaylor2D.h :862-988) ────────
+def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None):
+    cfg = load_config(config)
+    N = _int(cfg, "N", 256)
+    nu, omega, dx, dt = lb_parameters(_num(cfg, "ulb", 0.04), N,
+                                      _num(cfg, "Re", 3000.0))
+    p = hcz.HCZParams(
+        omega=omega, phi_l=_num(cfg, "phi_l", 0.251),
+        phi_g=_num(cfg, "phi_g", 0.024), rho_l=_num(cfg, "rho_l", 0.12),
+        rho_g=_num(cfg, "rho_g", 0.04), a=_num(cfg, "a", 4.0),
+        b=_num(cfg, "b", 4.0), kappa=_num(cfg, "kappa", 0.01),
+        gravity=_num(cfg, "gravity", -6.25e-6))
+    ny = 4 * N + 2
+    state = hcz.init_rayleigh_taylor(N, ny, p, dtype=dtype)
+    fluid = hcz.geometry_channel(N, ny)
+    state = hcz.apply_geometry(state, fluid)
+    steps = max_steps or int(_num(cfg, "max_t", 5.01) / dt)
+    drv = Driver(outdir, N * ny, out_freq=_int(cfg, "out_freq", 3200),
+                 vtk_freq=_int(cfg, "vtk_freq", 3200))
+    it = 0
+    while it < steps:
+        if drv.want_vtk(it):
+            phi = np.asarray(hcz.order_parameter(state[0]))
+            rho = np.asarray(hcz.rho_of_phi(hcz.order_parameter(state[0]), p))
+            flg = (~np.asarray(fluid)).astype(int)
+            drv.write_vtk(it, N, ny, spacing=1.0 / N,
+                          scalars=[("phi", phi), ("density", rho)],
+                          int_scalars=[("Flag", flg)])
+        if drv.want_out(it):
+            e = float(hcz.kinetic_energy(state, fluid, p)) * dx * dx / (dt * dt)
+            drv.log_file("energy.dat").log(it * dt, e)
+            s, b = hcz.interface_heights(
+                np.asarray(hcz.order_parameter(state[0])), p)
+            drv.log_file("spike_bubble_position.dat").log(
+                it * dt, s * dx, b * dx)
+        chunk = min(steps - it, max(1, min(drv.out_freq or steps,
+                                           drv.vtk_freq or steps)))
+        state = hcz.run(state, fluid, p, chunk)
+        drv.clock.tick(chunk)
+        it += chunk
+    drv.finish()
+    return state
+
+
+# ─── HCZ layered channel (reference PF twoLayeredFlow2D.h :762-905) ────────
+def run_two_layered_pf(config, outdir, dtype=jnp.float64, max_steps=None):
+    cfg = load_config(config)
+    N = _int(cfg, "N", 100)
+    omega, dx, dt = _omega(cfg, N)
+    p = hcz.HCZParams(
+        omega=omega, phi_l=_num(cfg, "phi_l", 0.251),
+        phi_g=_num(cfg, "phi_g", 0.024), rho_l=_num(cfg, "rho_l", 0.12),
+        rho_g=_num(cfg, "rho_g", 0.04), a=_num(cfg, "a", 4.0),
+        b=_num(cfg, "b", 4.0), kappa=_num(cfg, "kappa", 0.001),
+        gx=_num(cfg, "gx", 0.0), Gx_const=_num(cfg, "Gx_const", 1e-8))
+    state = hcz.init_layers(N, N, p, h_lower=_num(cfg, "h_lower", 0.3),
+                            w_int=_int(cfg, "w_int", 2), dtype=dtype)
+    fluid = hcz.geometry_channel(N, N)
+    state = hcz.apply_geometry(state, fluid)
+    steps = max_steps or int(_num(cfg, "max_t", 50.0) / dt)
+    drv = Driver(outdir, N * N, out_freq=_int(cfg, "out_freq", 500),
+                 vtk_freq=_int(cfg, "vtk_freq", 1000))
+    it = 0
+    while it < steps:
+        if drv.want_vtk(it):
+            phi = np.asarray(hcz.order_parameter(state[0]))
+            rho = np.asarray(hcz.rho_of_phi(hcz.order_parameter(state[0]), p))
+            drv.write_vtk(it, N, N, spacing=dx,
+                          scalars=[("phi", phi), ("density", rho)],
+                          int_scalars=[("Flag", (~np.asarray(fluid)).astype(int))])
+        if drv.want_out(it):
+            e = float(hcz.kinetic_energy(state, fluid, p)) * dx * dx / (dt * dt)
+            drv.log_file("energy.dat").log(it * dt, e)
+            rho = np.asarray(hcz.rho_of_phi(hcz.order_parameter(state[0]), p))
+            drv.log_file("density_probe.dat").log(
+                it * dt, float(rho[N // 2, N // 2]), float(rho[2, N // 2]))
+        chunk = min(steps - it, max(1, drv.out_freq or steps))
+        state = hcz.run(state, fluid, p, chunk)
+        drv.clock.tick(chunk)
+        it += chunk
+    drv.finish()
+    return state
+
+
+# ─── HCZ 3D droplet (reference laplace3D.h :853-952) ───────────────────────
+def run_laplace3d(config, outdir, dtype=jnp.float64, max_steps=None):
+    cfg = load_config(config)
+    N = _int(cfg, "N", 100)
+    nu, omega, dx, dt = lb_parameters(_num(cfg, "ulb", 0.01), N,
+                                      _num(cfg, "Re", 6.0))
+    p = hcz.HCZParams(
+        omega=omega, phi_l=_num(cfg, "phi_l", 0.251),
+        phi_g=_num(cfg, "phi_g", 0.024), rho_l=_num(cfg, "rho_l", 0.12),
+        rho_g=_num(cfg, "rho_g", 0.04), a=_num(cfg, "a", 4.0),
+        b=_num(cfg, "b", 4.0), kappa=_num(cfg, "kappa", 5e-4),
+        gravity=_num(cfg, "gravity", 0.0))
+    state = hcz.init_droplet_3d(N, N, N, p, dtype=dtype)
+    fluid = hcz.geometry_periodic_3d(N, N, N)
+    steps = max_steps or int(_num(cfg, "max_t", 5.0) / dt)
+    drv = Driver(outdir, N ** 3, out_freq=_int(cfg, "out_freq", 100),
+                 vtk_freq=_int(cfg, "vtk_freq", 100))
+    it = 0
+    while it < steps:
+        if drv.want_vtk(it):
+            phi = np.asarray(hcz.order_parameter(state[0]))
+            drv.write_vtk(it, N, N, N, spacing=1.0 / N,
+                          scalars=[("phi", phi)])
+        if drv.want_out(it):
+            e = float(hcz.kinetic_energy(state, fluid, p, hcz.D3Q19,
+                                         three_d=True))
+            drv.log_file("energy.dat").log(it * dt, e)
+        chunk = min(steps - it, max(1, drv.out_freq or steps))
+        state = hcz.run(state, fluid, p, chunk, lattice=hcz.D3Q19,
+                        three_d=True)
+        drv.clock.tick(chunk)
+        it += chunk
+    drv.finish()
+    return state
+
+
+# ─── SC Rayleigh-Taylor (reference SC RayleighTaylor2D.h :578-670) ─────────
+def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None):
+    cfg = load_config(config)
+    N = _int(cfg, "N", 128)
+    nu, omega, dx, dt = lb_parameters(_num(cfg, "ulb", 0.04), N,
+                                      _num(cfg, "Re", 30.72))
+    p = rt.SCRTParams(
+        omega=omega, rhol=_num(cfg, "rhol", 1.2), rhog=_num(cfg, "rhog", 0.4),
+        g=_num(cfg, "g", -5.0), gravity=_num(cfg, "gravity", -1.25e-5))
+    nx, ny = N, 2 * N
+    f = rt.init_interface(nx, ny, p, dtype=dtype)
+    fluid = rt.geometry_channel(nx, ny)
+    f = f * fluid[None].astype(f.dtype)
+    steps = max_steps or int(_num(cfg, "max_t", 50.01) / dt)
+    drv = Driver(outdir, nx * ny, out_freq=_int(cfg, "out_freq", 100),
+                 vtk_freq=_int(cfg, "vtk_freq", 100))
+    it = 0
+    while it < steps:
+        if drv.want_vtk(it):
+            rho = np.asarray(rt.density(f))
+            drv.write_vtk(it, nx, ny, spacing=dx,
+                          scalars=[("Density", rho)],
+                          int_scalars=[("Flag", (~np.asarray(fluid)).astype(int))])
+        if drv.want_out(it):
+            drv.log_file("energy.dat").log(it * dt, float(jnp.sum(f)))
+        chunk = min(steps - it, max(1, drv.out_freq or steps))
+        f = rt.run(f, fluid, p, chunk)
+        drv.clock.tick(chunk)
+        it += chunk
+    drv.finish()
+    return f
+
+
+# ─── Pulsatile vessel (reference PulsatileBloodFlow2D.h :719-794) ──────────
+def run_pulsatile(outdir, N=64, dtype=jnp.float64, max_steps=None):
+    p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N)
+    state = pb.initialize(p, dtype=dtype)
+    tf = max_steps or (p.beat + 2 * p.t_propagation)
+    step_freq = max(1, tf // 100)
+    drv = Driver(outdir, p.nx * p.ny, out_freq=step_freq, vtk_freq=step_freq)
+    it = 0
+    while it <= tf:
+        chunk = min(tf - it + 1, step_freq)
+        state = pb.run(state, it, p, chunk)
+        drv.clock.tick(chunk)
+        it += chunk
+        dump_t = it - 1
+        if drv.want_vtk(dump_t) or dump_t == tf:
+            drv.write_vtk(dump_t, p.nx, p.ny, spacing=1.0 / p.nx,
+                          scalars=[("P", np.asarray(state.P)),
+                                   ("Ux", np.asarray(state.Ux)),
+                                   ("Uy", np.asarray(state.Uy))],
+                          int_scalars=[("Flag",
+                                        (~np.asarray(state.fluid)).astype(int))])
+    drv.finish()
+    return state
+
+
+# ─── Combustion channel (reference runCavityTwoPop :4074-4496) ─────────────
+def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
+                   flow_steps=20000, scalar_steps=5000, T_solid=None):
+    p = cb.CombustionParams(nx=nx, ny=ny)
+    flags, _ = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p, dtype=dtype, T_solid=T_solid, flags=flags)
+    drv = Driver(outdir, nx * ny, out_freq=1000, vtk_freq=0)
+
+    def log(done, e, dev):
+        drv.log_file("energy.dat").log(done, e, dev)
+
+    st, done = cb.run_staged(st, p, max_flow_steps=flow_steps,
+                             check_every=500, scalar_steps=scalar_steps,
+                             log=log)
+    drv.clock.tick(done + scalar_steps)
+    rho, u = cb.macro_flow(st.f)
+    T = cb.macro_scalar(st.gT)
+    drv.write_vtk(done + scalar_steps, nx, ny,
+                  scalars=[("Density", np.asarray(rho)),
+                           ("Temperature", np.asarray(T)),
+                           ("mass_fraction_O2", np.asarray(cb.macro_scalar(st.gO2))),
+                           ("mass_fraction_CO2", np.asarray(cb.macro_scalar(st.gCO2))),
+                           ("velocity_X", np.asarray(u[0])),
+                           ("velocity_Y", np.asarray(u[1]))],
+                  int_scalars=[("Flag", flags.astype(int))])
+    fin, fout = cb.mass_flux_audit(st, tab, p)
+    drv.log_file("conservation.dat").log(float(fin), float(fout))
+    drv.finish()
+    return st

@@ -1,0 +1,85 @@
+"""Problem-select CLI, the counterpart of the reference's ``COOLBM.cpp``
+mains (problem chosen by string, reference ``Abbashub LBM/apps/COOLBM.cpp:99``)
+— but selectable at runtime instead of recompiling:
+
+    python -m multiphase_lbm_tpu.runners.coolbm <problem> \
+        [--config config.txt] [--outdir out] [--steps N] [--f32]
+
+Problems: laplace2D_sc, contactAngle2D, twoLayeredFlow2D_sc,
+RayleighTaylor2D_sc, Young_Laplace2D, rayleighTaylor2D, twoLayeredFlow2D,
+laplace3D, PulsatileBloodFlow2D, combustion.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax.numpy as jnp
+
+from . import apps
+
+PROBLEMS = {
+    "laplace2D_sc": (apps.run_sc_laplace2d, True),
+    "contactAngle2D": (apps.run_sc_contact_angle, True),
+    "twoLayeredFlow2D_sc": (apps.run_sc_two_layered, True),
+    "RayleighTaylor2D_sc": (apps.run_rayleigh_taylor_sc, True),
+    "Young_Laplace2D": (apps.run_young_laplace2d, True),
+    "rayleighTaylor2D": (apps.run_rayleigh_taylor_pf, True),
+    "twoLayeredFlow2D": (apps.run_two_layered_pf, True),
+    "laplace3D": (apps.run_laplace3d, True),
+}
+
+REFERENCE_CONFIGS = {
+    "laplace2D_sc": "shan-chen single component model/apps/Config_Files/config_Laplace2D.txt",
+    "contactAngle2D": "shan-chen single component model/apps/Config_Files/config_contactAngle2D.txt",
+    "twoLayeredFlow2D_sc": "shan-chen single component model/apps/Config_Files/config_twoLayeredFlow2D.txt",
+    "RayleighTaylor2D_sc": "shan-chen single component model/apps/Config_Files/config_RayleighTaylor2D.txt",
+    "Young_Laplace2D": "Abbashub LBM/apps/Config_Files/config_laplace2D.txt",
+    "rayleighTaylor2D": "Phase field model/apps/Config_Files/config_rayleighTaylor2D.txt",
+    "twoLayeredFlow2D": "Phase field model/apps/Config_Files/config_twoLayeredFlow2D.txt",
+    "laplace3D": "Phase field model/apps/Config_Files/config_laplace3D.txt",
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="coolbm")
+    ap.add_argument("problem", choices=list(PROBLEMS) +
+                    ["PulsatileBloodFlow2D", "combustion"])
+    ap.add_argument("--config", default=None,
+                    help="reference-format config_*.txt (defaults to the "
+                         "reference's shipped config when available)")
+    ap.add_argument("--outdir", default="out")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override the step count from the config")
+    ap.add_argument("--f32", action="store_true",
+                    help="run in float32 (TPU production dtype)")
+    ap.add_argument("--N", type=int, default=64,
+                    help="resolution for PulsatileBloodFlow2D")
+    args = ap.parse_args(argv)
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+
+    if args.problem == "PulsatileBloodFlow2D":
+        apps.run_pulsatile(args.outdir, N=args.N, dtype=dtype,
+                           max_steps=args.steps)
+        return 0
+    if args.problem == "combustion":
+        apps.run_combustion(args.outdir, dtype=dtype,
+                            flow_steps=args.steps or 20000)
+        return 0
+
+    fn, needs_cfg = PROBLEMS[args.problem]
+    cfg = args.config
+    if cfg is None:
+        import os
+        cand = os.path.join("/root/reference", REFERENCE_CONFIGS[args.problem])
+        if os.path.exists(cand):
+            cfg = cand
+        else:
+            ap.error(f"--config required for {args.problem}")
+    fn(cfg, args.outdir, dtype=dtype, max_steps=args.steps)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
