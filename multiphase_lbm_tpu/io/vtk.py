@@ -62,27 +62,38 @@ class VtkWriter:
         out.write("ORIGIN 0 0 0\n")
         out.write(f"SPACING {s:g} {s:g} {s:g}\n\n")
         out.write(f"POINT_DATA {npts}\n")
+        from .native import vtkfmt
+
         for name, kind, arr in self._fields:
             if kind == "vector":
                 out.write(f"VECTORS {name} float\n")
                 comps = arr.reshape(arr.shape[0], -1)
                 if comps.shape[0] == 2:
                     comps = np.vstack([comps, np.zeros_like(comps[0])])
-                cols = [_fmt_floats(cmp) for cmp in comps]
-                for i in range(comps.shape[1]):
-                    out.write(f"{cols[0][i]} {cols[1][i]} {cols[2][i]}\n")
+                body = vtkfmt.format_vector3(comps[0], comps[1], comps[2])
+                if body is not None:
+                    out.write(body)
+                else:
+                    cols = [_fmt_floats(cmp) for cmp in comps]
+                    for i in range(comps.shape[1]):
+                        out.write(f"{cols[0][i]} {cols[1][i]} {cols[2][i]}\n")
                 out.write("\n")
             else:
                 vtype = "int" if kind == "int" else "float"
                 out.write(f"SCALARS {name} {vtype} 1\nLOOKUP_TABLE default\n")
                 rows = arr.reshape(-1, self.nx)
-                if kind == "int":
-                    srows = np.char.mod("%d", rows.astype(np.int64))
+                body = (None if kind == "int"
+                        else vtkfmt.format_scalar(rows, self.nx))
+                if body is not None:
+                    out.write(body)
                 else:
-                    srows = _fmt_floats(rows)
-                for r in srows:
-                    out.write(" ".join(r))
-                    out.write(" \n")
+                    if kind == "int":
+                        srows = np.char.mod("%d", rows.astype(np.int64))
+                    else:
+                        srows = _fmt_floats(rows)
+                    for r in srows:
+                        out.write(" ".join(r))
+                        out.write(" \n")
                 out.write("\n")
         return out.getvalue()
 
