@@ -72,9 +72,24 @@ def main(argv=None):
     cfg = args.config
     if cfg is None:
         import os
-        cand = os.path.join("/root/reference", REFERENCE_CONFIGS[args.problem])
-        if os.path.exists(cand):
-            cfg = cand
+        from pathlib import Path
+        repo_cfg = {
+            "laplace2D_sc": "sc_Laplace2D.txt",
+            "contactAngle2D": "sc_contactAngle2D.txt",
+            "twoLayeredFlow2D_sc": "sc_twoLayeredFlow2D.txt",
+            "RayleighTaylor2D_sc": "sc_RayleighTaylor2D.txt",
+            "Young_Laplace2D": "young_laplace2D.txt",
+            "rayleighTaylor2D": "pf_rayleighTaylor2D.txt",
+            "twoLayeredFlow2D": "pf_twoLayeredFlow2D.txt",
+            "laplace3D": "pf_laplace3D.txt",
+        }
+        cand1 = (Path(__file__).resolve().parents[2] / "configs"
+                 / repo_cfg[args.problem])
+        cand2 = os.path.join("/root/reference", REFERENCE_CONFIGS[args.problem])
+        if cand1.exists():
+            cfg = str(cand1)
+        elif os.path.exists(cand2):
+            cfg = cand2
         else:
             ap.error(f"--config required for {args.problem}")
     fn(cfg, args.outdir, dtype=dtype, max_steps=args.steps)
