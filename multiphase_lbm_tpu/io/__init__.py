@@ -1,1 +1,1 @@
-from . import config, loggers, vtk  # noqa: F401
+from . import checkpoint, config, loggers, vtk  # noqa: F401
