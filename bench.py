@@ -49,7 +49,7 @@ def main():
 
         def step_n(v):
             return pallas_sc.run_fused(v, fluid_f32, p, args.steps,
-                                       tile=args.tile)
+                                       tile=args.tile, periodic=True)
         label = "Pallas"
 
     out = step_n(f)

@@ -60,7 +60,8 @@ def _roll2(arr, cy, cx):
     return out
 
 
-def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool):
+def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
+                 periodic: bool = False):
     lat = D2Q9
     w = lat.w
     c = lat.c
@@ -77,6 +78,8 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool):
         A_mat = None
 
     def kernel(f_hbm, m_hbm, out_ref, fbuf, mbuf, sem):
+        # `periodic` (static): fully-fluid domain — mask loads, wall forces
+        # and bounce-back selects compile away.
         i = pl.program_id(0)
         y0 = pl.multiple_of(i * Ty, 8)
 
@@ -89,38 +92,42 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool):
         if nprog == 1:
             # single stripe: whole lattice + both wrap halos
             cp(f_hbm.at[:, pl.ds(ny - HALO, HALO), :], fbuf.at[:, pl.ds(0, HALO), :], 0)
-            cp(m_hbm.at[pl.ds(ny - HALO, HALO), :], mbuf.at[pl.ds(0, HALO), :], 1)
             cp(f_hbm.at[:, pl.ds(0, ny), :], fbuf.at[:, pl.ds(HALO, ny), :], 0)
-            cp(m_hbm.at[pl.ds(0, ny), :], mbuf.at[pl.ds(HALO, ny), :], 1)
             cp(f_hbm.at[:, pl.ds(0, HALO), :], fbuf.at[:, pl.ds(HALO + ny, HALO), :], 0)
-            cp(m_hbm.at[pl.ds(0, HALO), :], mbuf.at[pl.ds(HALO + ny, HALO), :], 1)
+            if not periodic:
+                cp(m_hbm.at[pl.ds(ny - HALO, HALO), :], mbuf.at[pl.ds(0, HALO), :], 1)
+                cp(m_hbm.at[pl.ds(0, ny), :], mbuf.at[pl.ds(HALO, ny), :], 1)
+                cp(m_hbm.at[pl.ds(0, HALO), :], mbuf.at[pl.ds(HALO + ny, HALO), :], 1)
         else:
             @pl.when(i == 0)
             def _():
                 cp(f_hbm.at[:, pl.ds(ny - HALO, HALO), :], fbuf.at[:, pl.ds(0, HALO), :], 0)
-                cp(m_hbm.at[pl.ds(ny - HALO, HALO), :], mbuf.at[pl.ds(0, HALO), :], 1)
                 cp(f_hbm.at[:, pl.ds(0, Ty + HALO), :], fbuf.at[:, pl.ds(HALO, Ty + HALO), :], 0)
-                cp(m_hbm.at[pl.ds(0, Ty + HALO), :], mbuf.at[pl.ds(HALO, Ty + HALO), :], 1)
+                if not periodic:
+                    cp(m_hbm.at[pl.ds(ny - HALO, HALO), :], mbuf.at[pl.ds(0, HALO), :], 1)
+                    cp(m_hbm.at[pl.ds(0, Ty + HALO), :], mbuf.at[pl.ds(HALO, Ty + HALO), :], 1)
 
         if nprog > 1:
             @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
             def _():
                 cp(f_hbm.at[:, pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], fbuf.at[:, :, :], 0)
-                cp(m_hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], mbuf.at[:, :], 1)
+                if not periodic:
+                    cp(m_hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], mbuf.at[:, :], 1)
 
             @pl.when(i == nprog - 1)
             def _():
                 cp(f_hbm.at[:, pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), :],
                    fbuf.at[:, pl.ds(0, Ty + HALO), :], 0)
-                cp(m_hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), :],
-                   mbuf.at[pl.ds(0, Ty + HALO), :], 1)
                 cp(f_hbm.at[:, pl.ds(0, HALO), :],
                    fbuf.at[:, pl.ds(Ty + HALO, HALO), :], 0)
-                cp(m_hbm.at[pl.ds(0, HALO), :],
-                   mbuf.at[pl.ds(Ty + HALO, HALO), :], 1)
+                if not periodic:
+                    cp(m_hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), :],
+                       mbuf.at[pl.ds(0, Ty + HALO), :], 1)
+                    cp(m_hbm.at[pl.ds(0, HALO), :],
+                       mbuf.at[pl.ds(Ty + HALO, HALO), :], 1)
 
         fb = fbuf[:, :, :]           # (9, Text, nx)
-        mb = mbuf[:, :]              # (Text, nx), 1.0 = fluid
+        mb = None if periodic else mbuf[:, :]   # (Text, nx), 1.0 = fluid
 
         # ---- macroscopic fields ----
         rho = fb[0] + fb[1] + fb[2] + fb[3] + fb[4] + fb[5] + fb[6] + fb[7] + fb[8]
@@ -150,17 +157,23 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool):
             cx, cy = int(c[k][0]), int(c[k][1])
             if cx == 0 and cy == 0:
                 continue
-            nb_m = _roll2(mb, cy, cx)
             nb_psi = _roll2(psi, cy, cx)
-            ff = nb_m * nb_psi
-            bb = 1.0 - nb_m
+            if periodic:
+                ff = nb_psi
+                bb = 0.0
+            else:
+                nb_m = _roll2(mb, cy, cx)
+                ff = nb_m * nb_psi
+                bb = 1.0 - nb_m
             wk = float(w[k])
             if cx:
                 sum_ff_x += (wk * cx) * ff
-                sum_bb_x += (wk * cx) * bb
+                if not periodic:
+                    sum_bb_x += (wk * cx) * bb
             if cy:
                 sum_ff_y += (wk * cy) * ff
-                sum_bb_y += (wk * cy) * bb
+                if not periodic:
+                    sum_bb_y += (wk * cy) * bb
 
         Fx = -G1 * psi * (sum_ff_x + psi_w * sum_bb_x) + p.gx * rho
         Fy = -G1 * psi * (sum_ff_y + psi_w * sum_bb_y) + p.gravity * rho
@@ -186,25 +199,32 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool):
                 for jj in range(9):
                     acc = acc - float(A_mat[kk, jj]) * dneq[jj]
                 post.append(acc)
-        post = [pk * mb for pk in post]
+        if not periodic:
+            post = [pk * mb for pk in post]
 
         # ---- pull streaming with on-site bounce-back ----
         for k in range(9):
             cx, cy = int(c[k][0]), int(c[k][1])
             if cx == 0 and cy == 0:
                 new_k = post[4]
+            elif periodic:
+                new_k = _roll2(post[k], -cy, -cx)        # value from (r-cy, x-cx)
             else:
                 pulled = _roll2(post[k], -cy, -cx)       # value from (r-cy, x-cx)
                 up_m = _roll2(mb, -cy, -cx)
                 new_k = jnp.where(up_m > 0.5, pulled, post[opp[k]])
-            out_ref[k, :, :] = (new_k * mb)[HALO:HALO + Ty, :]
+            if periodic:
+                out_ref[k, :, :] = new_k[HALO:HALO + Ty, :]
+            else:
+                out_ref[k, :, :] = (new_k * mb)[HALO:HALO + Ty, :]
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret",
+                                   "periodic"))
 def run_fused(f, fluid_f32, p: SCParams, n_steps: int, tile: int = 0,
-              interpret: bool = False):
+              interpret: bool = False, periodic: bool = False):
     """Advance ``n_steps`` with the fused kernel under ``lax.scan``.
 
     Args:
@@ -218,7 +238,7 @@ def run_fused(f, fluid_f32, p: SCParams, n_steps: int, tile: int = 0,
     Ty = tile or _pick_tile(ny)
     assert ny % Ty == 0, (ny, Ty)
     Text = Ty + 2 * HALO
-    kernel = _make_kernel(p, ny, nx, Ty, interpret)
+    kernel = _make_kernel(p, ny, nx, Ty, interpret, periodic)
 
 
     call = pl.pallas_call(
