@@ -100,6 +100,9 @@ class CombustionParams:
     conjugate_heat: bool = True          # LI2014
     with_obstacles: bool = True
     inlet_parabolic: bool = True
+    y_freeslip: bool = False             # specular-reflection y walls (:1330-1370)
+    temperature_coupling: bool = False   # TC=1: C_dach corrector (:2596-2665)
+    T_ref: float = 1.0
 
     @property
     def sigma(self):
@@ -118,7 +121,7 @@ class CombustionParams:
 
 
 # ─── geometry ──────────────────────────────────────────────────────────────
-BULK, WALL, OBSTACLE = 0, 1, 3
+BULK, WALL, SPECULAR, OBSTACLE = 0, 1, 2, 3
 
 
 def build_geometry(p: CombustionParams):
@@ -126,9 +129,12 @@ def build_geometry(p: CombustionParams):
     Inflow_Outflow branch :3883-3943 and the 4 Xu-2018 obstacles :3995-4029)."""
     ny, nx = p.ny, p.nx
     flags = np.full((ny, nx), BULK, dtype=np.int8)
-    flags[0, :] = WALL
-    flags[-1, :] = WALL
+    wall_t = SPECULAR if p.y_freeslip else WALL
+    flags[0, :] = wall_t
+    flags[-1, :] = wall_t
     flags[:, 0] = WALL                       # inlet column (momentum exchange)
+    flags[0, 0] = WALL
+    flags[-1, 0] = WALL
     if p.with_obstacles:
         ys = slice(int(ny * 3.0 / 8.0), int(np.ceil(ny * 5.0 / 8.0)))
         for x0, x1 in ((100, 121), (141, 161), (181, 201), (221, 241)):
@@ -199,6 +205,7 @@ def build_static_tables(flags, p: CombustionParams):
     ny, nx = flags.shape
     is_bulk = flags == BULK
     is_wall = flags == WALL
+    is_spec = flags == SPECULAR
     is_obst = flags == OBSTACLE
 
     nb_obst = np.zeros((Q, ny, nx), dtype=bool)
@@ -259,9 +266,13 @@ def build_static_tables(flags, p: CombustionParams):
                         n[1][m] = nyv
         ck_n[k] = C[k, 0] * n[0] + C[k, 1] * n[1]
 
+    nb_spec = np.zeros((Q, ny, nx), dtype=bool)
+    for k in range(Q):
+        nb_spec[k] = _shift(is_spec, int(C[k, 0]), int(C[k, 1]))
     return dict(
-        is_bulk=is_bulk, is_wall=is_wall, is_obst=is_obst,
-        nb_obst=nb_obst, nb_wall=nb_wall, nb_bulk=nb_bulk, ck_n=ck_n)
+        is_bulk=is_bulk, is_wall=is_wall, is_spec=is_spec, is_obst=is_obst,
+        nb_obst=nb_obst, nb_wall=nb_wall, nb_bulk=nb_bulk, nb_spec=nb_spec,
+        ck_n=ck_n)
 
 
 # ─── collision pieces ──────────────────────────────────────────────────────
@@ -475,9 +486,14 @@ def _pull(post, k):
     return jnp.roll(post[k], (cy, cx), axis=(0, 1))
 
 
+# specular mirror pairs (rest-first ordering): flip cy
+_YFLIP = {1: 1, 2: 4, 3: 3, 4: 2, 5: 8, 6: 7, 7: 6, 8: 5}
+
+
 def stream_flow(post, f_solid, tab):
     """Flow streaming: BB with momentum exchange at walls/obstacles
-    (reference stream/streamFlow :1679-1769).  Solid-cell outputs are
+    (reference stream/streamFlow :1679-1769); specular reflection at
+    free-slip walls (reference Specular :1330-1370).  Solid-cell outputs are
     irrelevant and zeroed."""
     out = [post[0]]
     for k in range(1, Q):
@@ -490,7 +506,22 @@ def stream_flow(post, f_solid, tab):
             _shift(np.asarray(f_solid[ko]), int(C[ko, 0]), int(C[ko, 1])),
             dtype=post.dtype)
         pulled = _pull(post, k)
-        out.append(jnp.where(nb_solid, post[ko] + fs_nb, pulled))
+        val = jnp.where(nb_solid, post[ko] + fs_nb, pulled)
+        # specular: fout(j, k) = post(j − (cx_k, 0), yflip(k)) when the wall
+        # row beyond j against c_k's y-component is specular
+        # (push form :1330-1370: the sender i = j − (cx_k, 0) reflects its
+        # yflip(k) population off the specular cell at j + (0, −cy_k))
+        ksrc = _YFLIP[k]
+        cxk, cyk = int(C[k, 0]), int(C[k, 1])
+        if cyk != 0 and tab["is_spec"].any():
+            # the reflecting sender i = j − (cx_k, 0) must itself be a bulk
+            # cell (at domain corners the BB write wins in the reference)
+            spec_at = jnp.asarray(
+                _shift(np.asarray(tab["is_spec"]), 0, -cyk)
+                & _shift(np.asarray(tab["is_bulk"]), -cxk, 0))
+            mirrored = jnp.roll(post[ksrc], (0, cxk), axis=(0, 1))
+            val = jnp.where(spec_at, mirrored, val)
+        out.append(val)
     res = jnp.stack(out)
     return res * jnp.asarray(tab["is_bulk"], dtype=post.dtype)[None]
 
@@ -583,6 +614,27 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
         # ── phase 3: collisions ──
         feq = _equilibrium(rho, u, usqr)
         post_f = _mrt(f, feq, S)
+        if p.temperature_coupling:
+            # TC=1 corrector C_dach (reference :2596-2665): Q = ρu(1−Θ−u²),
+            # central/one-sided gradients, moments {1:3(dQx+dQy),
+            # 2:−3(dQx+dQy), 7:(dQx−dQy)} relaxed by (1−S/2)
+            T_here = macro_scalar(gT)
+            theta = T_here / p.T_ref
+            Qx = rho * u[0] * (1.0 - theta - u[0] ** 2)
+            Qy = rho * u[1] * (1.0 - theta - u[1] ** 2)
+            dQx, _ = _central_gradient(Qx, tab)
+            _, dQy = _central_gradient(Qy, tab)
+            dQx = jnp.where((jnp.arange(p.nx) == p.nx - 1)[None, :], 0.0, dQx)
+            s_tc = dQx + dQy
+            Cm = jnp.zeros((Q,) + s_tc.shape, dtype=f.dtype)
+            Cm = Cm.at[1].set(3.0 * s_tc)
+            Cm = Cm.at[2].set(-3.0 * s_tc)
+            Cm = Cm.at[7].set(dQx - dQy)
+            Sv = jnp.asarray(S, dtype=f.dtype)
+            Cm = Cm * (1.0 - 0.5 * Sv)[:, None, None]
+            Minv_j = jnp.asarray(M_INV, dtype=f.dtype)
+            post_f = post_f + jnp.einsum(
+                "kj,jyx->kyx", Minv_j, Cm)
 
         if konv:
             # species with thermal-expansion forcing (:643-800, :2680-2769)
@@ -723,3 +775,81 @@ def run_staged(state: CombustionState, p: CombustionParams,
         state = run(state, p, 1, konv=True, first_step=True)
         state = run(state, p, scalar_steps - 1, konv=True)
     return state, done
+
+
+# ─── profile / slice outputs (reference :3456-3532, :3356-3459) ────────────
+def save_profiles(outdir, state, tab, p: CombustionParams, ulb=None):
+    """Centerline velocity profiles middlex.dat / middley.dat
+    (reference saveProfiles)."""
+    from pathlib import Path
+
+    ulb = ulb or p.u_inlet
+    rho, u = macro_flow(state.f)
+    ux = np.asarray(u[0])
+    uy = np.asarray(u[1])
+    bulkish = ~tab["is_wall"]
+    ny, nx = p.ny, p.nx
+    y1 = ny // 2 - (1 if ny % 2 == 0 else 0)
+    y2 = ny // 2
+    x1 = nx // 2 - (1 if nx % 2 == 0 else 0)
+    x2 = nx // 2
+    with open(Path(outdir) / "middlex.dat", "w") as fh:
+        for iX in range(1, nx - 1):
+            if bulkish[y1, iX] and bulkish[y2, iX]:
+                pos = (iX - 0.5) / (nx - 2) * 2.0 - 1.0
+                fh.write(f"{pos:20.8g}{0.5 * (ux[y1, iX] + ux[y2, iX]) / ulb:20.8g}"
+                         f"{0.5 * (uy[y1, iX] + uy[y2, iX]) / ulb:20.8g}\n")
+    with open(Path(outdir) / "middley.dat", "w") as fh:
+        for iY in range(1, ny - 1):
+            if bulkish[iY, x1] and bulkish[iY, x2]:
+                pos = (iY - 0.5) / (ny - 2) * 2.0 - 1.0
+                fh.write(f"{pos:20.8g}{0.5 * (ux[iY, x1] + ux[iY, x2]) / ulb:20.8g}"
+                         f"{0.5 * (uy[iY, x1] + uy[iY, x2]) / ulb:20.8g}\n")
+
+
+def save_slice(outdir, state, p: CombustionParams):
+    """Full-field vx/vy/|v|/rho text dumps (reference saveSlice, :3503-3532)."""
+    from pathlib import Path
+
+    rho, u = macro_flow(state.f)
+    ux, uy = np.asarray(u[0]), np.asarray(u[1])
+    r = np.asarray(rho)
+    for name, arr in (("vx.dat", ux), ("vy.dat", uy),
+                      ("v.dat", np.sqrt(ux * ux + uy * uy)), ("rho.dat", r)):
+        np.savetxt(Path(outdir) / name, arr, fmt="%.8g")
+
+
+def middleline(outdir, state, tab, p: CombustionParams, tag=""):
+    """Centerline T / Y_O2 / Y_CO2 profiles at a fixed time (reference
+    Middleline, :3356-3459)."""
+    from pathlib import Path
+
+    yc = p.ny // 2
+    T = np.asarray(macro_scalar(state.gT))[yc]
+    Y1 = np.asarray(macro_scalar(state.gO2))[yc]
+    Y2 = np.asarray(macro_scalar(state.gCO2))[yc]
+    with open(Path(outdir) / f"middleline{tag}.dat", "w") as fh:
+        for x in range(p.nx):
+            fh.write(f"{x} {T[x]:.10g} {Y1[x]:.10g} {Y2[x]:.10g}\n")
+
+
+def conservation_audit(outdir, state, tab, p: CombustionParams):
+    """Per-row inlet/outlet mass and momentum fluxes + totals (reference
+    Conservation_check_output, :3179-3330)."""
+    from pathlib import Path
+
+    rho, u = macro_flow(state.f)
+    r = np.asarray(rho)
+    ux = np.asarray(u[0])
+    bulk = tab["is_bulk"]
+    rows = np.arange(p.ny)
+    for col, name in ((1, "inlet"), (p.nx - 1, "outlet")):
+        mflux = r[:, col] * ux[:, col] * bulk[:, col]
+        pflux = r[:, col] * ux[:, col] ** 2 * bulk[:, col]
+        np.savetxt(Path(outdir) / f"massflow_{name}.dat",
+                   np.column_stack([rows, mflux]), fmt="%.10g")
+        np.savetxt(Path(outdir) / f"momentumflow_{name}.dat",
+                   np.column_stack([rows, pflux]), fmt="%.10g")
+    fin, fout = mass_flux_audit(state, tab, p)
+    with open(Path(outdir) / "conservation_totals.dat", "w") as fh:
+        fh.write(f"{float(fin):.12g} {float(fout):.12g}\n")

@@ -100,3 +100,49 @@ def test_no_reaction_mode(small):
     st = cb.run(st, p, 300, konv=True)
     Y2 = np.asarray(cb.macro_scalar(st.gCO2))
     assert abs(Y2[tab["is_bulk"]]).max() < 1e-12   # no CO2 source
+
+
+def test_freeslip_walls():
+    """Specular y-walls: flow slips (no wall drag ⇒ near-plug profile)."""
+    p = cb.CombustionParams(nx=260, ny=48, y_freeslip=True,
+                            with_obstacles=False)
+    flags, f_solid = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p)
+    st = cb.run(st, p, 2500, konv=False)
+    rho, u = cb.macro_flow(st.f)
+    ux = np.asarray(u[0])
+    # downstream of the inlet, the near-wall velocity stays much closer to
+    # the centerline value than with no-slip walls
+    x = 150
+    assert np.isfinite(ux[tab["is_bulk"]]).all()
+    ratio = ux[1, x] / ux[p.ny // 2, x]
+    assert ratio > 0.6, ratio
+
+
+def test_temperature_coupling_runs():
+    """TC=1 corrector path compiles and stays finite."""
+    p = cb.CombustionParams(nx=260, ny=48, temperature_coupling=True)
+    flags, _ = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p, T_solid=1.5, flags=flags)
+    st = cb.run(st, p, 100, konv=False)
+    st = cb.run(st, p, 1, konv=True, first_step=True)
+    st = cb.run(st, p, 200, konv=True)
+    T = np.asarray(cb.macro_scalar(st.gT))
+    assert np.isfinite(T[tab["is_bulk"]]).all()
+
+
+def test_profile_outputs(small, tmp_path):
+    p, flags, f_solid, tab = small
+    st = cb.initialize(p)
+    st = cb.run(st, p, 200, konv=False)
+    cb.save_profiles(tmp_path, st, tab, p)
+    cb.save_slice(tmp_path, st, p)
+    cb.middleline(tmp_path, st, tab, p, tag="_t0")
+    cb.conservation_audit(tmp_path, st, tab, p)
+    import os
+    for f in ("middlex.dat", "middley.dat", "vx.dat", "rho.dat",
+              "middleline_t0.dat", "massflow_inlet.dat",
+              "conservation_totals.dat"):
+        assert os.path.exists(tmp_path / f), f
