@@ -23,9 +23,12 @@ parallel sweep (reads of half-updated neighbours are unordered under
 so all link masks and the interface-normal factors (reference
 ``get_normal_vect``'s erg-table, :1371-1632) are precomputed host-side.
 
-Not ported (non-default flags): Cavity/Couette/Poiseuille topologies,
-GUO2015/HUBER2015 conjugate schemes, Temperature_coupling (TC=0 default,
-:4310), free-slip specular walls, external body force.
+Beyond the default path, the non-default reference flags are covered too:
+Cavity / Couette / Poiseuille topologies (moving-lid momentum exchange,
+x-periodic, body force with half-force velocity shift), free-slip specular
+walls, the Temperature_coupling C_dach corrector, and the external MRT
+force.  Not ported: the GUO2015/HUBER2015 conjugate-heat alternatives
+(LI2014 is the reference's active scheme).
 """
 from __future__ import annotations
 
@@ -103,6 +106,10 @@ class CombustionParams:
     y_freeslip: bool = False             # specular-reflection y walls (:1330-1370)
     temperature_coupling: bool = False   # TC=1: C_dach corrector (:2596-2665)
     T_ref: float = 1.0
+    topology: str = "inflow_outflow"     # | "cavity" | "couette" | "poiseuille"
+    u_lid: float = 0.0                   # lid/moving-wall speed (cavity/couette)
+    dpdx: float = 0.0                    # body force (poiseuille, :246-248)
+    dpdy: float = 0.0
 
     @property
     def sigma(self):
@@ -125,33 +132,55 @@ BULK, WALL, SPECULAR, OBSTACLE = 0, 1, 2, 3
 
 
 def build_geometry(p: CombustionParams):
-    """Flags + static momentum-exchange populations (reference iniCavity
-    Inflow_Outflow branch :3883-3943 and the 4 Xu-2018 obstacles :3995-4029)."""
+    """Flags + static momentum-exchange populations per topology (reference
+    iniCavity, :3756-4073): Inflow_Outflow (default, parabolic inlet via
+    momentum exchange at x=0 + obstacles), Cavity (moving lid), Couette
+    (moving top wall, x periodic), Poiseuille (x periodic, body force)."""
     ny, nx = p.ny, p.nx
     flags = np.full((ny, nx), BULK, dtype=np.int8)
-    wall_t = SPECULAR if p.y_freeslip else WALL
-    flags[0, :] = wall_t
-    flags[-1, :] = wall_t
-    flags[:, 0] = WALL                       # inlet column (momentum exchange)
-    flags[0, 0] = WALL
-    flags[-1, 0] = WALL
-    if p.with_obstacles:
-        ys = slice(int(ny * 3.0 / 8.0), int(np.ceil(ny * 5.0 / 8.0)))
-        for x0, x1 in ((100, 121), (141, 161), (181, 201), (221, 241)):
-            ospec = np.zeros((ny, nx), dtype=bool)
-            ospec[ys, x0:x1] = True
-            flags[ospec] = OBSTACLE
-
-    # inlet profile (reference :4286-4306)
-    yy = np.arange(ny) / (ny - 1.0)
-    ux_in = (4.0 * yy * (1.0 - yy) * p.u_inlet if p.inlet_parabolic
-             else np.full(ny, p.u_inlet))
     f_solid = np.zeros((Q, ny, nx))
-    for k in range(Q):
-        f_solid[k, :, 0] = -6.0 * W[k] * 1.0 * (C[k, 0] * ux_in)
-    # corners are plain walls
-    f_solid[:, 0, 0] = 0.0
-    f_solid[:, -1, 0] = 0.0
+    wall_t = SPECULAR if p.y_freeslip else WALL
+
+    if p.topology == "inflow_outflow":
+        flags[0, :] = wall_t
+        flags[-1, :] = wall_t
+        flags[:, 0] = WALL                   # inlet column (momentum exchange)
+        flags[0, 0] = WALL
+        flags[-1, 0] = WALL
+        if p.with_obstacles:
+            ys = slice(int(ny * 3.0 / 8.0), int(np.ceil(ny * 5.0 / 8.0)))
+            for x0, x1 in ((100, 121), (141, 161), (181, 201), (221, 241)):
+                ospec = np.zeros((ny, nx), dtype=bool)
+                ospec[ys, x0:x1] = True
+                flags[ospec] = OBSTACLE
+        # inlet profile (reference :4286-4306)
+        yy = np.arange(ny) / (ny - 1.0)
+        ux_in = (4.0 * yy * (1.0 - yy) * p.u_inlet if p.inlet_parabolic
+                 else np.full(ny, p.u_inlet))
+        for k in range(Q):
+            f_solid[k, :, 0] = -6.0 * W[k] * 1.0 * (C[k, 0] * ux_in)
+        f_solid[:, 0, 0] = 0.0
+        f_solid[:, -1, 0] = 0.0
+    elif p.topology == "cavity":
+        # moving lid at y=ny−1 (reference :3762-3783, Mohamad eq. 8.17)
+        flags[0, :] = WALL
+        flags[-1, :] = WALL
+        flags[:, 0] = WALL
+        flags[:, -1] = WALL
+        for k in range(Q):
+            f_solid[k, -1, :] = -6.0 * W[k] * p.u_lid * C[k, 0]
+        f_solid[:, -1, 0] = 0.0
+        f_solid[:, -1, -1] = 0.0
+    elif p.topology == "couette":
+        flags[0, :] = WALL
+        flags[-1, :] = WALL
+        for k in range(Q):
+            f_solid[k, -1, :] = -6.0 * W[k] * p.u_lid * C[k, 0]
+    elif p.topology == "poiseuille":
+        flags[0, :] = wall_t
+        flags[-1, :] = wall_t
+    else:
+        raise ValueError(p.topology)
     return flags, f_solid
 
 
@@ -596,16 +625,22 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
         f, gO2, gCO2, gT = state.f, state.gO2, state.gCO2, state.gT
 
         # ── phase 1: BC fixes on incoming populations ──
-        f = apply_flow_outlet(f, p)
+        if p.topology == "inflow_outflow":
+            f = apply_flow_outlet(f, p)
         if konv:
-            gO2 = apply_scalar_bcs(gO2, p.Y_O2_inlet, p)
-            gCO2 = apply_scalar_bcs(gCO2, p.Y_CO2_inlet, p)
-            gT = apply_scalar_bcs(gT, p.T_inlet, p)
+            if p.topology == "inflow_outflow":
+                gO2 = apply_scalar_bcs(gO2, p.Y_O2_inlet, p)
+                gCO2 = apply_scalar_bcs(gCO2, p.Y_CO2_inlet, p)
+                gT = apply_scalar_bcs(gT, p.T_inlet, p)
             if p.conjugate_heat and not first_step:
                 gT = apply_conjugate_bc(gT, state.g_coll, tab, p)
 
         # ── phase 2: macro ──
         rho, u = macro_flow(f)
+        if p.dpdx or p.dpdy:
+            # half-force velocity shift (reference macro, :580)
+            u = u + jnp.stack([jnp.full_like(rho, p.dpdx / 2.0),
+                               jnp.full_like(rho, p.dpdy / 2.0)]) / rho[None]
         usqr = 1.5 * (u[0] ** 2 + u[1] ** 2)
         YO2 = macro_scalar(gO2)
         YCO2 = macro_scalar(gCO2)
@@ -614,6 +649,22 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
         # ── phase 3: collisions ──
         feq = _equilibrium(rho, u, usqr)
         post_f = _mrt(f, feq, S)
+        if p.dpdx or p.dpdy:
+            # MRT external force (reference collideMRT, :2451-2475):
+            # F' = t_k (c·F/cs2 + (c·u)(c·F)/cs2² − u·F/cs2), moments
+            # relaxed by (1 − S/2)
+            cj = jnp.asarray(C, dtype=f.dtype)
+            wj = jnp.asarray(W, dtype=f.dtype)
+            cu_f = jnp.einsum("kd,dyx->kyx", cj, u)
+            cF = cj[:, 0][:, None, None] * p.dpdx + cj[:, 1][:, None, None] * p.dpdy
+            uF = u[0] * p.dpdx + u[1] * p.dpdy
+            Fk = wj[:, None, None] * (3.0 * cF + 9.0 * cu_f * cF - 3.0 * uF[None])
+            Mj = jnp.asarray(M_MAT, dtype=f.dtype)
+            Minv_j = jnp.asarray(M_INV, dtype=f.dtype)
+            Sv = jnp.asarray(S, dtype=f.dtype)
+            mF = jnp.einsum("kj,jyx->kyx", Mj, Fk)
+            mF = mF * (1.0 - 0.5 * Sv)[:, None, None]
+            post_f = post_f + jnp.einsum("kj,jyx->kyx", Minv_j, mF)
         if p.temperature_coupling:
             # TC=1 corrector C_dach (reference :2596-2665): Q = ρu(1−Θ−u²),
             # central/one-sided gradients, moments {1:3(dQx+dQy),

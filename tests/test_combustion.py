@@ -146,3 +146,50 @@ def test_profile_outputs(small, tmp_path):
               "middleline_t0.dat", "massflow_inlet.dat",
               "conservation_totals.dat"):
         assert os.path.exists(tmp_path / f), f
+
+
+def test_cavity_topology():
+    """Lid-driven cavity: moving lid drags the fluid into a vortex."""
+    p = cb.CombustionParams(nx=64, ny=64, topology="cavity", u_lid=0.05,
+                            with_obstacles=False)
+    flags, f_solid = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p)
+    st = cb.run(st, p, 3000, konv=False)
+    rho, u = cb.macro_flow(st.f)
+    ux = np.asarray(u[0])
+    assert np.isfinite(ux[tab["is_bulk"]]).all()
+    # fluid just under the lid follows it; bottom recirculates backwards
+    assert ux[-2, 32] > 0.01
+    assert ux[8, 32] < 0.0
+
+
+def test_poiseuille_topology():
+    """Body-force Poiseuille: parabolic profile with the analytic peak."""
+    p = cb.CombustionParams(nx=64, ny=34, topology="poiseuille",
+                            dpdx=1e-6, tau_flow=0.8, with_obstacles=False)
+    flags, f_solid = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p)
+    st = cb.run(st, p, 8000, konv=False)
+    rho, u = cb.macro_flow(st.f)
+    ux = np.asarray(u[0])
+    H = p.ny - 2
+    nu = (p.tau_flow - 0.5) / 3.0
+    u_max = p.dpdx * (H / 2.0) ** 2 / (2.0 * nu)
+    assert ux[p.ny // 2, 32] == pytest.approx(u_max, rel=0.1)
+    # symmetric profile
+    assert ux[5, 32] == pytest.approx(ux[p.ny - 6, 32], rel=0.05)
+
+
+def test_couette_topology():
+    p = cb.CombustionParams(nx=64, ny=34, topology="couette", u_lid=0.04,
+                            with_obstacles=False)
+    flags, f_solid = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p)
+    st = cb.run(st, p, 6000, konv=False)
+    rho, u = cb.macro_flow(st.f)
+    ux = np.asarray(u[0])
+    # linear shear: midpoint ≈ half the lid speed
+    assert ux[p.ny // 2, 32] == pytest.approx(p.u_lid / 2.0, rel=0.15)
