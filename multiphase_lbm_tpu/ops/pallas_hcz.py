@@ -1,0 +1,265 @@
+"""Fused Pallas TPU kernel for the HCZ phase-field D2Q9 step.
+
+One kernel per time step for the Rayleigh–Taylor / layered-channel family
+(:mod:`..models.hcz`, 2D scheme): both distributions (order parameter f,
+pressure g), all materialised stencil fields (ψρ, ψφ, ∇²φ and its gradient,
+∇ρ), the Guo-type forcing and the bounce-back pull streaming are computed in
+VMEM per y-stripe, reading and writing f and g exactly once per step.
+
+Same decomposition as :mod:`.pallas_sc`: x is the lane dimension (whole rows
+per block), stripes carry an 8-row halo (physical reach: ∇(∇²φ) = 2 +
+streaming 1 = 3 ≤ 8, which also satisfies Mosaic's sublane alignment).
+The fluid mask handles the channel walls (mirrored stencil reads + on-site
+bounce-back), exactly like the XLA reference path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.lattice import D2Q9
+from ..models.hcz import HCZParams
+
+HALO = 8
+
+
+def _pick_tile(ny: int, target: int = 32) -> int:
+    best = 0
+    for t in range(8, min(ny, target) + 1, 8):
+        if ny % t == 0:
+            best = t
+    if best == 0:
+        raise ValueError(f"ny={ny} has no 8-multiple stripe height")
+    return best
+
+
+def _roll2(arr, cy, cx):
+    out = arr
+    if cy:
+        out = pltpu.roll(out, (-cy) % arr.shape[0], 0)
+    if cx:
+        out = pltpu.roll(out, (-cx) % arr.shape[1], 1)
+    return out
+
+
+def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int):
+    lat = D2Q9
+    w = lat.w
+    c = lat.c
+    opp = lat.opp
+    Text = Ty + 2 * HALO
+    nprog = ny // Ty
+    dphi = p.phi_l - p.phi_g
+    drho = p.rho_l - p.rho_g
+
+    def cs_pressure(r):
+        rt = p.b * r / 4.0
+        om = 1.0 - rt
+        return (r / 3.0) * (1.0 + rt + rt * rt - rt ** 3) / (om * om * om) \
+            - p.a * r * r
+
+    def kernel(f_hbm, g_hbm, m_hbm, outf_ref, outg_ref, fbuf, gbuf, mbuf, sem):
+        i = pl.program_id(0)
+        y0 = pl.multiple_of(i * Ty, 8)
+
+        def cp(src, dst, slot):
+            d = pltpu.make_async_copy(src, dst, sem.at[slot])
+            d.start()
+            d.wait()
+
+        def load(hbm, buf, slot):
+            if nprog == 1:
+                cp(hbm.at[:, pl.ds(ny - HALO, HALO), :], buf.at[:, pl.ds(0, HALO), :], slot)
+                cp(hbm.at[:, pl.ds(0, ny), :], buf.at[:, pl.ds(HALO, ny), :], slot)
+                cp(hbm.at[:, pl.ds(0, HALO), :], buf.at[:, pl.ds(HALO + ny, HALO), :], slot)
+            else:
+                @pl.when(i == 0)
+                def _():
+                    cp(hbm.at[:, pl.ds(ny - HALO, HALO), :], buf.at[:, pl.ds(0, HALO), :], slot)
+                    cp(hbm.at[:, pl.ds(0, Ty + HALO), :], buf.at[:, pl.ds(HALO, Ty + HALO), :], slot)
+
+                @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
+                def _():
+                    cp(hbm.at[:, pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], buf.at[:, :, :], slot)
+
+                @pl.when(i == nprog - 1)
+                def _():
+                    cp(hbm.at[:, pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), :],
+                       buf.at[:, pl.ds(0, Ty + HALO), :], slot)
+                    cp(hbm.at[:, pl.ds(0, HALO), :], buf.at[:, pl.ds(Ty + HALO, HALO), :], slot)
+
+        def load2d(hbm, buf, slot):
+            if nprog == 1:
+                cp(hbm.at[pl.ds(ny - HALO, HALO), :], buf.at[pl.ds(0, HALO), :], slot)
+                cp(hbm.at[pl.ds(0, ny), :], buf.at[pl.ds(HALO, ny), :], slot)
+                cp(hbm.at[pl.ds(0, HALO), :], buf.at[pl.ds(HALO + ny, HALO), :], slot)
+            else:
+                @pl.when(i == 0)
+                def _():
+                    cp(hbm.at[pl.ds(ny - HALO, HALO), :], buf.at[pl.ds(0, HALO), :], slot)
+                    cp(hbm.at[pl.ds(0, Ty + HALO), :], buf.at[pl.ds(HALO, Ty + HALO), :], slot)
+
+                @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
+                def _():
+                    cp(hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], buf.at[:, :], slot)
+
+                @pl.when(i == nprog - 1)
+                def _():
+                    cp(hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), :],
+                       buf.at[pl.ds(0, Ty + HALO), :], slot)
+                    cp(hbm.at[pl.ds(0, HALO), :], buf.at[pl.ds(Ty + HALO, HALO), :], slot)
+
+        load(f_hbm, fbuf, 0)
+        load(g_hbm, gbuf, 1)
+        load2d(m_hbm, mbuf, 2)
+
+        fb = fbuf[:, :, :]
+        gb = gbuf[:, :, :]
+        mb = mbuf[:, :]
+
+        # ── macroscopic fields on the extended block ──
+        phi = fb[0]
+        Pterm = gb[0]
+        for k in range(1, 9):
+            phi = phi + fb[k]
+            Pterm = Pterm + gb[k]
+        rho = p.rho_g + (phi - p.phi_g) / dphi * drho
+        psi_phi = cs_pressure(phi) - phi / 3.0
+        psi_rho = cs_pressure(rho) - rho / 3.0
+
+        # mirrored neighbor read: q(r+c) if fluid there else q(r−c)
+        def nb(q, k):
+            cx, cy = int(c[k][0]), int(c[k][1])
+            fwd = _roll2(q, cy, cx)
+            bwd = _roll2(q, -cy, -cx)
+            m_f = _roll2(mb, cy, cx)
+            return jnp.where(m_f > 0.5, fwd, bwd)
+
+        def grad(q):
+            gx = jnp.zeros_like(q)
+            gy = jnp.zeros_like(q)
+            for k in range(9):
+                cx, cy = int(c[k][0]), int(c[k][1])
+                if cx == 0 and cy == 0:
+                    continue
+                v = nb(q, k)
+                if cx:
+                    gx = gx + float(w[k] * cx) * v
+                if cy:
+                    gy = gy + float(w[k] * cy) * v
+            return 3.0 * gx, 3.0 * gy
+
+        def lap(q):
+            s = jnp.zeros_like(q)
+            for k in range(9):
+                cx, cy = int(c[k][0]), int(c[k][1])
+                if cx == 0 and cy == 0:
+                    continue
+                s = s + float(w[k]) * (nb(q, k) - q)
+            return 6.0 * s
+
+        lap_phi = lap(phi)
+        glpx, glpy = grad(lap_phi)
+        gprx, gpry = grad(psi_rho)
+        gppx, gppy = grad(psi_phi)
+        grx, gry = grad(rho)
+
+        Fx = p.kappa * rho * glpx + p.gx * rho + p.Gx_const
+        Fy = p.kappa * rho * glpy + p.gravity * rho
+
+        momx = jnp.zeros_like(phi)
+        momy = jnp.zeros_like(phi)
+        for k in range(9):
+            cx, cy = int(c[k][0]), int(c[k][1])
+            if cx:
+                momx = momx + float(cx) * gb[k]
+            if cy:
+                momy = momy + float(cy) * gb[k]
+        ux = (momx + Fx / 6.0) / (rho / 3.0)
+        uy = (momy + Fy / 6.0) / (rho / 3.0)
+        P = Pterm + 0.5 * (ux * grx + uy * gry) / 3.0
+
+        usqr = 1.5 * (ux * ux + uy * uy)
+        phi_safe = jnp.where(mb > 0.5, phi, 1.0)
+        half = 1.0 - 0.5 * p.omega
+        uF = ux * Fx + uy * Fy
+        uE = ux * gprx + uy * gpry
+        uGp = ux * gppx + uy * gppy
+
+        post_f = []
+        post_g = []
+        for k in range(9):
+            cx, cy = float(c[k][0]), float(c[k][1])
+            cu = cx * ux + cy * uy
+            eqf = phi * float(w[k]) * (1.0 + 3.0 * cu + 4.5 * cu * cu - usqr)
+            eqg = float(w[k]) * (P + (rho / 3.0) * (3.0 * cu + 4.5 * cu * cu - usqr))
+            e_u_F = (cx * Fx + cy * Fy) - uF
+            e_u_E = (cx * gprx + cy * gpry) - uE
+            e_u_G = (cx * gppx + cy * gppy) - uGp
+            eqf_over = eqf / phi_safe
+            fg = half * (e_u_F * eqf_over + (-e_u_E) * (eqf_over - float(w[k])))
+            ff = half * (-e_u_G) * 3.0 * eqf_over
+            pf = ((1.0 - p.omega) * fb[k] + p.omega * eqf + ff) * mb
+            pg = ((1.0 - p.omega) * gb[k] + p.omega * eqg + fg) * mb
+            post_f.append(pf)
+            post_g.append(pg)
+
+        # ── pull streaming with on-site bounce-back ──
+        for k in range(9):
+            cx, cy = int(c[k][0]), int(c[k][1])
+            if cx == 0 and cy == 0:
+                nf, ng = post_f[4], post_g[4]
+            else:
+                up_m = _roll2(mb, -cy, -cx)
+                nf = jnp.where(up_m > 0.5, _roll2(post_f[k], -cy, -cx),
+                               post_f[opp[k]])
+                ng = jnp.where(up_m > 0.5, _roll2(post_g[k], -cy, -cx),
+                               post_g[opp[k]])
+            outf_ref[k, :, :] = (nf * mb)[HALO:HALO + Ty, :]
+            outg_ref[k, :, :] = (ng * mb)[HALO:HALO + Ty, :]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret"))
+def run_fused(f, g, fluid_f32, p: HCZParams, n_steps: int, tile: int = 0,
+              interpret: bool = False):
+    """Advance the HCZ 2D state ``n_steps`` with the fused kernel."""
+    _, ny, nx = f.shape
+    Ty = tile or _pick_tile(ny)
+    assert ny % Ty == 0, (ny, Ty)
+    Text = Ty + 2 * HALO
+    kernel = _make_kernel(p, ny, nx, Ty)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(f.shape, f.dtype),
+                   jax.ShapeDtypeStruct(g.shape, g.dtype)),
+        grid=(ny // Ty,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((9, Text, nx), jnp.float32),
+            pltpu.VMEM((9, Text, nx), jnp.float32),
+            pltpu.VMEM((Text, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def body(carry, _):
+        fa, ga = carry
+        return call(fa, ga, fluid_f32), None
+
+    (f, g), _ = jax.lax.scan(body, (f, g), None, length=n_steps)
+    return f, g
