@@ -61,7 +61,7 @@ def _roll2(arr, cy, cx):
 
 
 def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
-                 periodic: bool = False):
+                 periodic: bool = False, halo_in: bool = False):
     lat = D2Q9
     w = lat.w
     c = lat.c
@@ -89,7 +89,13 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
             d.start()
             d.wait()
 
-        if nprog == 1:
+        if halo_in:
+            # caller supplies a (…, ny+2H, nx) array with filled halos:
+            # uniform in-bounds loads, no wrap cases (multi-chip path)
+            cp(f_hbm.at[:, pl.ds(y0, Text), :], fbuf.at[:, :, :], 0)
+            if not periodic:
+                cp(m_hbm.at[pl.ds(y0, Text), :], mbuf.at[:, :], 1)
+        elif nprog == 1:
             # single stripe: whole lattice + both wrap halos
             cp(f_hbm.at[:, pl.ds(ny - HALO, HALO), :], fbuf.at[:, pl.ds(0, HALO), :], 0)
             cp(f_hbm.at[:, pl.ds(0, ny), :], fbuf.at[:, pl.ds(HALO, ny), :], 0)
@@ -107,7 +113,7 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
                     cp(m_hbm.at[pl.ds(ny - HALO, HALO), :], mbuf.at[pl.ds(0, HALO), :], 1)
                     cp(m_hbm.at[pl.ds(0, Ty + HALO), :], mbuf.at[pl.ds(HALO, Ty + HALO), :], 1)
 
-        if nprog > 1:
+        if nprog > 1 and not halo_in:
             @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
             def _():
                 cp(f_hbm.at[:, pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], fbuf.at[:, :, :], 0)
@@ -266,3 +272,34 @@ def run_fused(f, fluid_f32, p: SCParams, n_steps: int, tile: int = 0,
 
     out, _ = jax.lax.scan(body, f, None, length=n_steps)
     return out
+
+
+def step_fused_halo(f_ext, fluid_ext_f32, p: SCParams, tile: int = 0,
+                    interpret: bool = False, periodic: bool = False):
+    """One fused step on a halo-extended block: ``f_ext`` is
+    ``(9, ny+2*HALO, nx)`` with the 8-row halos already filled (by a
+    shard_map neighbor exchange or host padding).  Returns the ``(9, ny, nx)``
+    interior update.  This is the multi-chip building block."""
+    _, ny_ext, nx = f_ext.shape
+    ny = ny_ext - 2 * HALO
+    Ty = tile or _pick_tile(ny)
+    assert ny % Ty == 0, (ny, Ty)
+    Text = Ty + 2 * HALO
+    kernel = _make_kernel(p, ny, nx, Ty, interpret, periodic, halo_in=True)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((9, ny, nx), f_ext.dtype),
+        grid=(ny // Ty,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((9, Text, nx), jnp.float32),
+            pltpu.VMEM((Text, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f_ext, fluid_ext_f32)

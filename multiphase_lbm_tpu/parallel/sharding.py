@@ -127,3 +127,30 @@ def make_halo_step(step_fn: Callable, mesh: Mesh, width: int,
         out_specs=out_specs_state[0] if n_state == 1 else out_specs_state,
         check_vma=False)
     return jax.jit(shard_fn)
+
+
+def make_fused_sc_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False):
+    """Multi-chip fused Shan-Chen step: y-sharded lattice, 8-row halo
+    exchange over ICI via ring ppermute, then the halo-mode Pallas kernel on
+    each shard (reads its halos from the pre-exchanged rows — no wrap logic).
+
+    The mesh must have a single axis 'y'; the GLOBAL lattice is
+    ``(9, ny, nx)`` sharded on axis 1.  Global y-periodicity rides the
+    permute ring.
+    """
+    from ..ops import pallas_sc
+
+    H = pallas_sc.HALO
+
+    def local_step(f_loc, m_loc):
+        f_ext = _exchange_axis(f_loc, H, 1, "y")
+        m_ext = _exchange_axis(m_loc, H, 0, "y")
+        return pallas_sc.step_fused_halo(f_ext, m_ext, p, tile=tile,
+                                         interpret=interpret)
+
+    shard_fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, "y", None), P("y", None)),
+        out_specs=P(None, "y", None),
+        check_vma=False)
+    return jax.jit(shard_fn)
