@@ -91,3 +91,18 @@ def test_nondeformable_mode_runs(setup):
     # static geometry untouched
     assert np.array_equal(np.asarray(st.fluid),
                           np.asarray(pb.initialize(p).fluid))
+
+
+def test_non_severed_deformable():
+    """Healthy-vessel mode (is_severed=False): pulsatile waveforms at
+    p0=0.20/0.19, deformable walls stay in bounds and fields stay finite."""
+    N = 64
+    p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N, is_severed=False)
+    assert p.pin == 0.20 and p.pout == 0.19
+    st = pb.initialize(p)
+    st = pb.run(st, 0, p, 60)
+    assert np.isfinite(np.asarray(st.P)).all()
+    yr1 = np.asarray(st.yr1)
+    yr2 = np.asarray(st.yr2)
+    assert (yr1 > 0.5).all() and (yr2 < N - 1).all()
+    assert (yr2 - yr1 > 1.0).all()   # vessel stays open
