@@ -374,6 +374,11 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
                              check_every=500, scalar_steps=scalar_steps,
                              log=log)
     drv.clock.tick(done + scalar_steps)
+    drv.log_file("thermal-energy.dat").log(
+        done + scalar_steps, float(cb.thermal_energy(st, tab, p)))
+    cb.save_profiles(outdir, st, tab, p)
+    cb.middleline(outdir, st, tab, p)
+    cb.conservation_audit(outdir, st, tab, p)
     rho, u = cb.macro_flow(st.f)
     T = cb.macro_scalar(st.gT)
     drv.write_vtk(done + scalar_steps, nx, ny,
