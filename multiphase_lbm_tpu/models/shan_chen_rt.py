@@ -72,6 +72,12 @@ def force_ff(rho, fluid, p: SCRTParams, lattice: Lattice = D2Q9):
 def step(f, fluid, p: SCRTParams, lattice: Lattice = D2Q9):
     """BGK with Guo forcing at u_eq = u + F/(2ρ) (reference u_eq :392-401,
     collideBgk :369-405), then bounce-back pull streaming."""
+    return step_with_gravity(f, fluid, p, p.gravity, lattice)
+
+
+def step_with_gravity(f, fluid, p: SCRTParams, gravity, lattice: Lattice = D2Q9):
+    """Same step with a *traced* gravity (differentiable for calibration /
+    inverse problems — autodiff flows through force, collision, streaming)."""
     dtype = f.dtype
     rho = density(f)
     rho_safe = jnp.maximum(rho, RHO_FLOOR)
@@ -80,6 +86,8 @@ def step(f, fluid, p: SCRTParams, lattice: Lattice = D2Q9):
     mom = jnp.einsum("kd,k...->d...", c, f)
     u = mom / rho_safe[None]
     F = force_ff(rho, fluid, p, lattice)
+    # swap the static-gravity contribution for the traced one
+    F = F.at[1].add((gravity - p.gravity) * rho)
     ueq = u + 0.5 * F / rho_safe[None]
 
     cu = jnp.einsum("kd,d...->k...", c, ueq)
