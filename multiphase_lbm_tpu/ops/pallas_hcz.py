@@ -47,7 +47,8 @@ def _roll2(arr, cy, cx):
     return out
 
 
-def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int):
+def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
+                 halo_in: bool = False):
     lat = D2Q9
     w = lat.w
     c = lat.c
@@ -73,7 +74,9 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int):
             d.wait()
 
         def load(hbm, buf, slot):
-            if nprog == 1:
+            if halo_in:
+                cp(hbm.at[:, pl.ds(y0, Text), :], buf.at[:, :, :], slot)
+            elif nprog == 1:
                 cp(hbm.at[:, pl.ds(ny - HALO, HALO), :], buf.at[:, pl.ds(0, HALO), :], slot)
                 cp(hbm.at[:, pl.ds(0, ny), :], buf.at[:, pl.ds(HALO, ny), :], slot)
                 cp(hbm.at[:, pl.ds(0, HALO), :], buf.at[:, pl.ds(HALO + ny, HALO), :], slot)
@@ -94,7 +97,9 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int):
                     cp(hbm.at[:, pl.ds(0, HALO), :], buf.at[:, pl.ds(Ty + HALO, HALO), :], slot)
 
         def load2d(hbm, buf, slot):
-            if nprog == 1:
+            if halo_in:
+                cp(hbm.at[pl.ds(y0, Text), :], buf.at[:, :], slot)
+            elif nprog == 1:
                 cp(hbm.at[pl.ds(ny - HALO, HALO), :], buf.at[pl.ds(0, HALO), :], slot)
                 cp(hbm.at[pl.ds(0, ny), :], buf.at[pl.ds(HALO, ny), :], slot)
                 cp(hbm.at[pl.ds(0, HALO), :], buf.at[pl.ds(HALO + ny, HALO), :], slot)
@@ -263,3 +268,35 @@ def run_fused(f, g, fluid_f32, p: HCZParams, n_steps: int, tile: int = 0,
 
     (f, g), _ = jax.lax.scan(body, (f, g), None, length=n_steps)
     return f, g
+
+
+def step_fused_halo(f_ext, g_ext, fluid_ext_f32, p: HCZParams, tile: int = 0,
+                    interpret: bool = False):
+    """One fused HCZ step on halo-extended blocks (``ny+2*HALO`` rows with
+    filled halos) — the multi-chip building block."""
+    _, ny_ext, nx = f_ext.shape
+    ny = ny_ext - 2 * HALO
+    Ty = tile or _pick_tile(ny)
+    assert ny % Ty == 0, (ny, Ty)
+    Text = Ty + 2 * HALO
+    kernel = _make_kernel(p, ny, nx, Ty, halo_in=True)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((9, ny, nx), f_ext.dtype),
+                   jax.ShapeDtypeStruct((9, ny, nx), g_ext.dtype)),
+        grid=(ny // Ty,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((9, Text, nx), jnp.float32),
+            pltpu.VMEM((9, Text, nx), jnp.float32),
+            pltpu.VMEM((Text, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(f_ext, g_ext, fluid_ext_f32)

@@ -154,3 +154,26 @@ def make_fused_sc_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False):
         out_specs=P(None, "y", None),
         check_vma=False)
     return jax.jit(shard_fn)
+
+
+def make_fused_hcz_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False):
+    """Multi-chip fused HCZ step (y-sharded; 8-row ring halo exchange +
+    halo-mode Pallas kernel per shard).  Scales the RTI workloads beyond one
+    chip's HBM."""
+    from ..ops import pallas_hcz
+
+    H = pallas_hcz.HALO
+
+    def local_step(f_loc, g_loc, m_loc):
+        f_ext = _exchange_axis(f_loc, H, 1, "y")
+        g_ext = _exchange_axis(g_loc, H, 1, "y")
+        m_ext = _exchange_axis(m_loc, H, 0, "y")
+        return pallas_hcz.step_fused_halo(f_ext, g_ext, m_ext, p, tile=tile,
+                                          interpret=interpret)
+
+    shard_fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, "y", None), P(None, "y", None), P("y", None)),
+        out_specs=(P(None, "y", None), P(None, "y", None)),
+        check_vma=False)
+    return jax.jit(shard_fn)

@@ -36,3 +36,27 @@ def test_fused_hcz_layered_drive():
                                tile=8, interpret=True)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                rtol=3e-5, atol=3e-6)
+
+
+def test_multichip_fused_hcz(eight_devices):
+    """4-device y-mesh fused HCZ (interpret) matches the XLA step."""
+    import jax
+    from multiphase_lbm_tpu.parallel import sharding as sh
+
+    p = hcz.HCZParams(omega=1.2, gravity=-6.25e-6, kappa=0.01)
+    nx, ny = 128, 64
+    state = hcz.init_rayleigh_taylor(nx, ny, p, dtype=jnp.float32)
+    fluid = hcz.geometry_channel(nx, ny)
+    state = hcz.apply_geometry(state, fluid)
+    f, g = state
+    ref = hcz.step_2d((f, g), fluid, p)
+    mesh = sh.make_mesh(4, axis_names=("y",))
+    step = sh.make_fused_hcz_step(mesh, p, tile=8, interpret=True)
+    spec3 = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "y", None))
+    spec2 = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("y", None))
+    out = step(jax.device_put(f, spec3), jax.device_put(g, spec3),
+               jax.device_put(fluid.astype(jnp.float32), spec2))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               rtol=3e-5, atol=3e-6)
