@@ -27,8 +27,10 @@ Beyond the default path, the non-default reference flags are covered too:
 Cavity / Couette / Poiseuille topologies (moving-lid momentum exchange,
 x-periodic, body force with half-force velocity shift), free-slip specular
 walls, the Temperature_coupling C_dach corrector, and the external MRT
-force.  Not ported: the GUO2015/HUBER2015 conjugate-heat alternatives
-(LI2014 is the reference's active scheme).
+force, and the GUO2015 conjugate/reaction-heat alternative (per-direction
+reaction heat deposited into the adjacent solid cells' q-store, interfaces
+streaming through).  Not ported: HUBER2015's Karani-style temperature
+forcing (LI2014 is the reference's active scheme).
 """
 from __future__ import annotations
 
@@ -100,7 +102,8 @@ class CombustionParams:
     w_eps: float = 1.0
     w_q: float = 1.0
     solid_reaction: bool = True
-    conjugate_heat: bool = True          # LI2014
+    conjugate_heat: bool = True          # kept for API compat (li2014 on/off)
+    conj_scheme: str = "li2014"          # "li2014" | "guo2015" | "none" 
     with_obstacles: bool = True
     inlet_parabolic: bool = True
     y_freeslip: bool = False             # specular-reflection y walls (:1330-1370)
@@ -110,6 +113,12 @@ class CombustionParams:
     u_lid: float = 0.0                   # lid/moving-wall speed (cavity/couette)
     dpdx: float = 0.0                    # body force (poiseuille, :246-248)
     dpdy: float = 0.0
+
+    @property
+    def scheme(self):
+        if not self.conjugate_heat and self.conj_scheme == "li2014":
+            return "none"
+        return self.conj_scheme
 
     @property
     def sigma(self):
@@ -193,6 +202,7 @@ class CombustionState(NamedTuple):
     F_CO2_prev: jnp.ndarray
     F_T_prev: jnp.ndarray
     g_coll: jnp.ndarray     # LI2014 interface post-collision store
+    q_heat: jnp.ndarray     # GUO2015 per-cell deposited reaction heat (ny,nx)
 
 
 def initialize(p: CombustionParams, dtype=jnp.float64, f_restart=None,
@@ -212,8 +222,9 @@ def initialize(p: CombustionParams, dtype=jnp.float64, f_restart=None,
             flags, _ = build_geometry(p)
         gT = np.where((flags == OBSTACLE)[None], wk * T_solid, gT)
     z = np.zeros((Q, ny, nx))
+    zq = np.zeros((ny, nx))
     return CombustionState(
-        *(jnp.asarray(a, dtype) for a in (f, gO2, gCO2, gT, z, z, z, z)))
+        *(jnp.asarray(a, dtype) for a in (f, gO2, gCO2, gT, z, z, z, z, zq)))
 
 
 # ─── static link/interface tables ──────────────────────────────────────────
@@ -496,7 +507,9 @@ def interface_mass_fractions(T, YO2, YCO2, tab, p: CombustionParams):
     """Y at the reactive interface per direction (reference
     Reaction_Interface, :1633-1652), evaluated at every gas cell (masked by
     the obstacle-link tables downstream)."""
-    kr = p.A_pre * jnp.exp(-p.E_akt / (p.R_id * T))
+    # floor T: wall/solid rows can carry garbage values and exp(-E/RT)
+    # overflows for T→0⁻ (inf·0 → NaN through the masks)
+    kr = p.A_pre * jnp.exp(-p.E_akt / (p.R_id * jnp.maximum(T, 1e-2)))
     ck_n = jnp.asarray(tab["ck_n"], dtype=T.dtype)
     YO2_int = []
     YCO2_int = []
@@ -552,7 +565,9 @@ def stream_flow(post, f_solid, tab):
             val = jnp.where(spec_at, mirrored, val)
         out.append(val)
     res = jnp.stack(out)
-    return res * jnp.asarray(tab["is_bulk"], dtype=post.dtype)[None]
+    # where-select, not multiply: solid-cell values can be NaN (0/0 macro)
+    # and NaN*0 = NaN would leak
+    return jnp.where(jnp.asarray(tab["is_bulk"])[None], res, 0.0)
 
 
 def stream_species(post, Y_int_k, tab, p: CombustionParams):
@@ -574,7 +589,9 @@ def stream_species(post, Y_int_k, tab, p: CombustionParams):
             val = jnp.where(nb_obst, bb, val)
         out.append(val)
     res = jnp.stack(out)
-    return res * jnp.asarray(tab["is_bulk"], dtype=post.dtype)[None]
+    # where-select, not multiply: solid-cell values can be NaN (0/0 macro)
+    # and NaN*0 = NaN would leak
+    return jnp.where(jnp.asarray(tab["is_bulk"])[None], res, 0.0)
 
 
 def stream_temperature(post_gas, post_solid, gT_old, tab, p: CombustionParams):
@@ -600,9 +617,10 @@ def stream_temperature(post_gas, post_solid, gT_old, tab, p: CombustionParams):
         up_is_obst = jnp.roll(is_obst, (cy, cx), axis=(0, 1))
         up_is_bulk = jnp.roll(is_bulk, (cy, cx), axis=(0, 1))
         iface = (up_is_obst & is_bulk) | (up_is_bulk & is_obst)
-        if p.conjugate_heat:
+        if p.scheme == "li2014":
             val = jnp.where(iface, gT_old[k], pulled)
         else:
+            # GUO2015 / none: populations pass through the interface
             val = pulled
         out.append(val)
         # store post-collision populations pointing across the interface
@@ -632,8 +650,15 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
                 gO2 = apply_scalar_bcs(gO2, p.Y_O2_inlet, p)
                 gCO2 = apply_scalar_bcs(gCO2, p.Y_CO2_inlet, p)
                 gT = apply_scalar_bcs(gT, p.T_inlet, p)
-            if p.conjugate_heat and not first_step:
+            if p.scheme == "li2014" and not first_step:
                 gT = apply_conjugate_bc(gT, state.g_coll, tab, p)
+            if p.scheme == "guo2015" and p.solid_reaction:
+                # Reaktion_Solid (:2378-2388): deposit accumulated reaction
+                # heat into the solid populations, then clear the store
+                wj_ = jnp.asarray(W, dtype=gT.dtype)[:, None, None]
+                dep = jnp.where(jnp.asarray(tab["is_obst"])[None],
+                                wj_ * state.q_heat[None], 0.0)
+                gT = gT + dep
 
         # ── phase 2: macro ──
         rho, u = macro_flow(f)
@@ -726,8 +751,28 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
             for k in (1, 2, 3, 4):
                 y_sum = y_sum + jnp.where(
                     jnp.asarray(tab["nb_obst"][k]), YO2_int[k], 0.0)
-            F_r = p.A_pre * jnp.exp(-p.E_akt / (p.R_id * T)) * y_sum * rho / p.M_O2
-            F_T = F_r * p.delta_hr / (rho * p.cp_gas)
+            if p.scheme == "guo2015":
+                # GUO2015 (:2826-2856): no gas-side heating; per-direction
+                # reaction rates deposit into the adjacent cells' q store
+                F_T = jnp.zeros_like(T)
+                kr = p.A_pre * jnp.exp(
+                    -p.E_akt / (p.R_id * jnp.maximum(T, 1e-2)))
+                bulk_m = jnp.asarray(tab["is_bulk"])
+                q_new = jnp.zeros_like(T)
+                for k in (1, 2, 3, 4):
+                    frk = kr * jnp.where(
+                        jnp.asarray(tab["nb_obst"][k]) & bulk_m,
+                        YO2_int[k], 0.0) * rho / p.M_O2
+                    fq = frk * p.delta_hr / (p.rho_solid * p.cp_solid)
+                    cx, cy = int(C[k, 0]), int(C[k, 1])
+                    # deposit at the neighbor in direction k (scatter → pull)
+                    q_new = q_new + jnp.roll(fq, (cy, cx), axis=(0, 1))
+            else:
+                F_r = (p.A_pre
+                       * jnp.exp(-p.E_akt / (p.R_id * jnp.maximum(T, 1e-2)))
+                       * y_sum * rho / p.M_O2)
+                F_T = F_r * p.delta_hr / (rho * p.cp_gas)
+                q_new = state.q_heat
             FT_k = wj[:, None, None] * F_T[None] * (
                 1.0 + 3.0 * cu * ((p.tau_T - 0.5) / p.tau_T))
             geqT = _equilibrium(T, u, usqr)
@@ -752,9 +797,10 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
             gT_2, g_coll = stream_temperature(post_T, post_T_solid, gT, tab, p)
         else:
             gO2_2, gCO2_2, gT_2, g_coll = gO2, gCO2, gT, state.g_coll
+            q_new = state.q_heat
 
         return CombustionState(f2, gO2_2, gCO2_2, gT_2,
-                               FO2_k, FCO2_k, FT_k, g_coll)
+                               FO2_k, FCO2_k, FT_k, g_coll, q_new)
 
     return step, tab
 

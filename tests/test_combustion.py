@@ -1,5 +1,6 @@
 """Combustion solver tests (scaled-down Xu-2018 channel)."""
 import dataclasses
+import jax.numpy as jnp
 
 import jax.numpy as jnp
 import numpy as np
@@ -193,3 +194,46 @@ def test_couette_topology():
     ux = np.asarray(u[0])
     # linear shear: midpoint ≈ half the lid speed
     assert ux[p.ny // 2, 32] == pytest.approx(p.u_lid / 2.0, rel=0.15)
+
+
+def test_guo2015_conjugate_scheme(small):
+    """GUO2015: reaction heat deposits into the solid q-store; interfaces
+    pass populations through.  Hot gas (T=2) makes the Arrhenius rate
+    non-negligible."""
+    p = cb.CombustionParams(nx=128, ny=48, conj_scheme="guo2015",
+                            T_ini=2.0, T_inlet=2.0, with_obstacles=False)
+    p_off = dataclasses.replace(p, solid_reaction=False)
+    # custom obstacle near the inlet so O2 reaches it quickly
+    flags, f_solid = cb.build_geometry(p)
+    flags = flags.copy()
+    flags[18:30, 20:30] = cb.OBSTACLE
+    tab = cb.build_static_tables(flags, p)
+
+    def run_case(pp):
+        step1, _ = cb.make_step(pp, flags=flags, f_solid=f_solid, konv=True,
+                                first_step=True)
+        stepn, _ = cb.make_step(pp, flags=flags, f_solid=f_solid, konv=True)
+        stepf, _ = cb.make_step(pp, flags=flags, f_solid=f_solid, konv=False)
+        st = cb.initialize(pp, T_solid=2.0, flags=flags)
+        import jax
+        @jax.jit
+        def flow200(s):
+            return jax.lax.scan(lambda c_, _: (stepf(c_), None), s, None,
+                                length=200)[0]
+        @jax.jit
+        def react400(s):
+            return jax.lax.scan(lambda c_, _: (stepn(c_), None), s, None,
+                                length=400)[0]
+        st = flow200(st)
+        st = step1(st)
+        st = react400(st)
+        return st
+    st_on = run_case(p)
+    st_off = run_case(p_off)
+    T_on = np.asarray(cb.macro_scalar(st_on.gT))
+    T_off = np.asarray(cb.macro_scalar(st_off.gT))
+    assert np.isfinite(T_on[tab["is_bulk"]]).all()
+    # reaction heat raises the solid relative to the no-reaction run
+    assert (T_on[tab["is_obst"]].sum() - T_off[tab["is_obst"]].sum()) > 1e-6
+    # q store actively carries deposits
+    assert float(jnp.abs(st_on.q_heat).max()) > 0.0
