@@ -181,7 +181,8 @@ def run_young_laplace2d(config, outdir, dtype=jnp.float64, max_steps=None):
 
 
 # ─── HCZ Rayleigh-Taylor (reference PF rayleighTaylor2D.h :862-988) ────────
-def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None):
+def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None,
+                           fused=False):
     cfg = load_config(config)
     N = _int(cfg, "N", 256)
     nu, omega, dx, dt = lb_parameters(_num(cfg, "ulb", 0.04), N,
@@ -193,6 +194,10 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None):
         b=_num(cfg, "b", 4.0), kappa=_num(cfg, "kappa", 0.01),
         gravity=_num(cfg, "gravity", -6.25e-6))
     ny = 4 * N + 2
+    if fused:
+        # fused kernel needs 8-multiple row counts; pad with extra wall rows
+        ny = ny + (8 - ny % 8) % 8
+        dtype = jnp.float32
     state = hcz.init_rayleigh_taylor(N, ny, p, dtype=dtype)
     fluid = hcz.geometry_channel(N, ny)
     state = hcz.apply_geometry(state, fluid)
@@ -217,7 +222,13 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None):
                 it * dt, s * dx, b * dx)
         chunk = min(steps - it, max(1, min(drv.out_freq or steps,
                                            drv.vtk_freq or steps)))
-        state = hcz.run(state, fluid, p, chunk)
+        if fused:
+            from ..ops import pallas_hcz
+            f2, g2 = pallas_hcz.run_fused(state[0], state[1],
+                                          fluid.astype(jnp.float32), p, chunk)
+            state = (f2, g2)
+        else:
+            state = hcz.run(state, fluid, p, chunk)
         drv.clock.tick(chunk)
         it += chunk
     drv.finish()

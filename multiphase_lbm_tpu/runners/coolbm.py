@@ -53,6 +53,8 @@ def main(argv=None):
                     help="override the step count from the config")
     ap.add_argument("--f32", action="store_true",
                     help="run in float32 (TPU production dtype)")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused Pallas kernel path (rayleighTaylor2D)")
     ap.add_argument("--N", type=int, default=64,
                     help="resolution for PulsatileBloodFlow2D")
     args = ap.parse_args(argv)
@@ -69,6 +71,9 @@ def main(argv=None):
         return 0
 
     fn, needs_cfg = PROBLEMS[args.problem]
+    extra = {}
+    if args.fused and args.problem == "rayleighTaylor2D":
+        extra["fused"] = True
     cfg = args.config
     if cfg is None:
         import os
@@ -92,7 +97,7 @@ def main(argv=None):
             cfg = cand2
         else:
             ap.error(f"--config required for {args.problem}")
-    fn(cfg, args.outdir, dtype=dtype, max_steps=args.steps)
+    fn(cfg, args.outdir, dtype=dtype, max_steps=args.steps, **extra)
     return 0
 
 
