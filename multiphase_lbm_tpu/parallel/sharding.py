@@ -17,7 +17,6 @@ Two interchangeable paths:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import jax

@@ -9,7 +9,6 @@ emits the same observables: ``sol_*.vtk`` with the module's exact field list,
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax.numpy as jnp
 import numpy as np
