@@ -15,6 +15,8 @@ REF_VTK_DIR = Path(
     "out_single-phase fluid flow through a compliant vessel")
 
 
+@pytest.mark.skipif(not Path("/root/reference").exists(),
+                    reason="reference tree absent")
 def test_parse_reference_configs():
     base = Path("/root/reference")
     c1 = cfg.load_config(
