@@ -27,10 +27,11 @@ Beyond the default path, the non-default reference flags are covered too:
 Cavity / Couette / Poiseuille topologies (moving-lid momentum exchange,
 x-periodic, body force with half-force velocity shift), free-slip specular
 walls, the Temperature_coupling C_dach corrector, and the external MRT
-force, and the GUO2015 conjugate/reaction-heat alternative (per-direction
+force, the GUO2015 conjugate/reaction-heat alternative (per-direction
 reaction heat deposited into the adjacent solid cells' q-store, interfaces
-streaming through).  Not ported: HUBER2015's Karani-style temperature
-forcing (LI2014 is the reference's active scheme).
+streaming through), and the HUBER2015 scheme (passthrough streaming +
+Karani-2015 conjugate forcing F = q·∇(1/ρcp), Temperature_forcing_neu
+:907-1025; LI2014 is the reference's active default).
 """
 from __future__ import annotations
 
@@ -103,7 +104,7 @@ class CombustionParams:
     w_q: float = 1.0
     solid_reaction: bool = True
     conjugate_heat: bool = True          # kept for API compat (li2014 on/off)
-    conj_scheme: str = "li2014"          # "li2014" | "guo2015" | "none" 
+    conj_scheme: str = "li2014"   # "li2014" | "guo2015" | "huber2015" | "none"
     with_obstacles: bool = True
     inlet_parabolic: bool = True
     y_freeslip: bool = False             # specular-reflection y walls (:1330-1370)
@@ -309,10 +310,25 @@ def build_static_tables(flags, p: CombustionParams):
     nb_spec = np.zeros((Q, ny, nx), dtype=bool)
     for k in range(Q):
         nb_spec[k] = _shift(is_spec, int(C[k, 0]), int(C[k, 1]))
+
+    # HUBER2015 Karani forcing masks (Temperature_forcing_neu, :968-1019):
+    # ∇(1/ρcp) is one-sided and non-zero only at bulk cells with a reactive
+    # obstacle on exactly one side per axis; zeroed on the border bands
+    # iX ∈ {1, nx−2}, iY ∈ {1, ny−2} (:1007-1019).
+    huber_e = is_bulk & nb_obst[1] & ~nb_obst[3]
+    huber_w = is_bulk & nb_obst[3] & ~nb_obst[1]
+    huber_n = is_bulk & nb_obst[2] & ~nb_obst[4]
+    huber_s = is_bulk & nb_obst[4] & ~nb_obst[2]
+    ix = np.arange(nx)[None, :]
+    iy = np.arange(ny)[:, None]
+    huber_border = (ix == 1) | (ix == nx - 2) | (iy == 1) | (iy == ny - 2)
+    huber_border = np.broadcast_to(huber_border, (ny, nx))
+
     return dict(
         is_bulk=is_bulk, is_wall=is_wall, is_spec=is_spec, is_obst=is_obst,
         nb_obst=nb_obst, nb_wall=nb_wall, nb_bulk=nb_bulk, nb_spec=nb_spec,
-        ck_n=ck_n)
+        ck_n=ck_n, huber_e=huber_e, huber_w=huber_w, huber_n=huber_n,
+        huber_s=huber_s, huber_border=huber_border)
 
 
 # ─── collision pieces ──────────────────────────────────────────────────────
@@ -767,15 +783,46 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
                     cx, cy = int(C[k, 0]), int(C[k, 1])
                     # deposit at the neighbor in direction k (scatter → pull)
                     q_new = q_new + jnp.roll(fq, (cy, cx), axis=(0, 1))
-            else:
+            elif p.scheme in ("li2014", "huber2015"):
+                # F_Q1 enters the gas only under HUBER2015 || LI2014 (:2861)
                 F_r = (p.A_pre
                        * jnp.exp(-p.E_akt / (p.R_id * jnp.maximum(T, 1e-2)))
                        * y_sum * rho / p.M_O2)
                 F_T = F_r * p.delta_hr / (rho * p.cp_gas)
                 q_new = state.q_heat
+            else:  # scheme "none": passthrough streaming, no gas-side heat
+                F_T = jnp.zeros_like(T)
+                q_new = state.q_heat
+            geqT = _equilibrium(T, u, usqr)
+            if p.scheme == "huber2015":
+                # Karani-2015 conjugate forcing (Temperature_forcing_neu,
+                # :907-1025): F = q·∇(1/ρcp) with the heat flux from the
+                # local non-equilibrium first moment,
+                # q = ρcp[(1−1/2τ_T)Σ c(g−g_eq) + uT]  (:961-962),
+                # and one-sided half-cell ∇(1/ρcp) at gas/solid interfaces
+                # using (ρcp_gas + ρ_s cp_s)/2 as the interface value.
+                bulk_m = jnp.asarray(tab["is_bulk"])
+                u_b = jnp.where(bulk_m[None], u, 0.0)
+                rho_b = jnp.where(bulk_m, rho, 1.0)
+                fac = 1.0 - 1.0 / (2.0 * p.tau_T)
+                dneq = gT - T[None] * wj[:, None, None] * (
+                    1.0 + 3.0 * jnp.einsum("kd,dyx->kyx", cj, u_b)
+                    + 4.5 * jnp.einsum("kd,dyx->kyx", cj, u_b) ** 2
+                    - 1.5 * (u_b[0] ** 2 + u_b[1] ** 2))
+                mom = jnp.einsum("kd,kyx->dyx", cj, dneq)
+                rc_loc = rho_b * p.cp_gas
+                qx = rc_loc * (fac * mom[0] + u_b[0] * T)
+                qy = rc_loc * (fac * mom[1] + u_b[1] * T)
+                rc_avg = (rc_loc + p.rho_solid * p.cp_solid) / 2.0
+                step_g = (1.0 / rc_avg - 1.0 / rc_loc) / 0.5   # Δx/2, Δx=1
+                Gx = (jnp.where(jnp.asarray(tab["huber_e"]), step_g, 0.0)
+                      - jnp.where(jnp.asarray(tab["huber_w"]), step_g, 0.0))
+                Gy = (jnp.where(jnp.asarray(tab["huber_n"]), step_g, 0.0)
+                      - jnp.where(jnp.asarray(tab["huber_s"]), step_g, 0.0))
+                ok = bulk_m & ~jnp.asarray(tab["huber_border"])
+                F_T = F_T + jnp.where(ok, qx * Gx + qy * Gy, 0.0)
             FT_k = wj[:, None, None] * F_T[None] * (
                 1.0 + 3.0 * cu * ((p.tau_T - 0.5) / p.tau_T))
-            geqT = _equilibrium(T, u, usqr)
             post_T = (_mrt(gT, geqT, ST) + FT_k
                       + 0.5 * (FT_k - state.F_T_prev))
             # solid temperature (rest-frame equilibrium, :2958-3017)

@@ -370,8 +370,9 @@ def run_pulsatile(outdir, N=64, dtype=jnp.float64, max_steps=None):
 
 # ─── Combustion channel (reference runCavityTwoPop :4074-4496) ─────────────
 def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
-                   flow_steps=20000, scalar_steps=5000, T_solid=None):
-    p = cb.CombustionParams(nx=nx, ny=ny)
+                   flow_steps=20000, scalar_steps=5000, T_solid=None,
+                   conj_scheme="li2014"):
+    p = cb.CombustionParams(nx=nx, ny=ny, conj_scheme=conj_scheme)
     flags, _ = cb.build_geometry(p)
     tab = cb.build_static_tables(flags, p)
     st = cb.initialize(p, dtype=dtype, T_solid=T_solid, flags=flags)

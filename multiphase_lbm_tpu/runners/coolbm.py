@@ -57,6 +57,9 @@ def main(argv=None):
                     help="use the fused Pallas kernel path (rayleighTaylor2D)")
     ap.add_argument("--N", type=int, default=64,
                     help="resolution for PulsatileBloodFlow2D")
+    ap.add_argument("--scheme", default="li2014",
+                    choices=["li2014", "guo2015", "huber2015", "none"],
+                    help="conjugate-heat scheme for the combustion problem")
     args = ap.parse_args(argv)
 
     dtype = jnp.float32 if args.f32 else jnp.float64
@@ -67,7 +70,8 @@ def main(argv=None):
         return 0
     if args.problem == "combustion":
         apps.run_combustion(args.outdir, dtype=dtype,
-                            flow_steps=args.steps or 20000)
+                            flow_steps=args.steps or 20000,
+                            conj_scheme=args.scheme)
         return 0
 
     fn, needs_cfg = PROBLEMS[args.problem]

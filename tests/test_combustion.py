@@ -237,3 +237,61 @@ def test_guo2015_conjugate_scheme(small):
     assert (T_on[tab["is_obst"]].sum() - T_off[tab["is_obst"]].sum()) > 1e-6
     # q store actively carries deposits
     assert float(jnp.abs(st_on.q_heat).max()) > 0.0
+
+
+def test_huber2015_conjugate_scheme(small):
+    """HUBER2015: passthrough streaming + Karani forcing F = q·∇(1/ρcp).
+    The forcing only acts at bulk cells bordering the obstacle, so away from
+    solids the scheme must match "none"; near the obstacle it must differ,
+    and the gas-side reaction heat (F_Q1, :2861) must raise T like LI2014."""
+    p = cb.CombustionParams(nx=128, ny=48, conj_scheme="huber2015",
+                            T_ini=2.0, T_inlet=2.0, with_obstacles=False)
+    flags, f_solid = cb.build_geometry(p)
+    flags = flags.copy()
+    flags[18:30, 20:30] = cb.OBSTACLE
+    tab = cb.build_static_tables(flags, p)
+
+    def run_case(pp):
+        step1, _ = cb.make_step(pp, flags=flags, f_solid=f_solid, konv=True,
+                                first_step=True)
+        stepn, _ = cb.make_step(pp, flags=flags, f_solid=f_solid, konv=True)
+        stepf, _ = cb.make_step(pp, flags=flags, f_solid=f_solid, konv=False)
+        st = cb.initialize(pp, T_solid=2.0, flags=flags)
+        import jax
+
+        @jax.jit
+        def flow200(s):
+            return jax.lax.scan(lambda c_, _: (stepf(c_), None), s, None,
+                                length=200)[0]
+
+        @jax.jit
+        def react300(s):
+            return jax.lax.scan(lambda c_, _: (stepn(c_), None), s, None,
+                                length=300)[0]
+        st = flow200(st)
+        st = step1(st)
+        return react300(st)
+
+    st_h = run_case(p)
+    st_n = run_case(dataclasses.replace(p, conj_scheme="none"))
+    T_h = np.asarray(cb.macro_scalar(st_h.gT))
+    T_n = np.asarray(cb.macro_scalar(st_n.gT))
+    assert np.isfinite(T_h[tab["is_bulk"] | tab["is_obst"]]).all()
+    # the conjugate forcing + gas-side reaction heat change the field
+    assert np.abs(T_h - T_n)[tab["is_bulk"]].max() > 1e-9
+    # reaction heating: huber gas near the obstacle hotter than passthrough
+    near = tab["is_bulk"] & (tab["nb_obst"][1] | tab["nb_obst"][2]
+                             | tab["nb_obst"][3] | tab["nb_obst"][4])
+    assert T_h[near].sum() > T_n[near].sum()
+
+
+def test_huber2015_reduces_to_none_without_obstacles(small):
+    """With no solid cells every Huber mask is empty, so huber2015 and the
+    plain passthrough scheme must agree bit-for-bit."""
+    p = cb.CombustionParams(nx=64, ny=32, conj_scheme="huber2015",
+                            with_obstacles=False, T_ini=1.5, T_inlet=1.5)
+    st_h = cb.run(cb.initialize(p), p, 40, konv=True, first_step=True)
+    p2 = dataclasses.replace(p, conj_scheme="none")
+    st_n = cb.run(cb.initialize(p2), p2, 40, konv=True, first_step=True)
+    np.testing.assert_array_equal(np.asarray(st_h.gT), np.asarray(st_n.gT))
+    np.testing.assert_array_equal(np.asarray(st_h.f), np.asarray(st_n.f))
