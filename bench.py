@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--collision", default="mrt", choices=["bgk", "mrt"])
     ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--nsub", type=int, default=8,
+                    help="temporal blocking: LBM steps per HBM round-trip")
+    ap.add_argument("--halo", type=int, default=16,
+                    help="stripe halo rows (must be >= 2*nsub, 8-aligned)")
     ap.add_argument("--no-fused", action="store_true",
                     help="benchmark the plain XLA path instead of Pallas")
     args = ap.parse_args()
@@ -49,7 +53,8 @@ def main():
 
         def step_n(v):
             return pallas_sc.run_fused(v, fluid_f32, p, args.steps,
-                                       tile=args.tile, periodic=True)
+                                       tile=args.tile, periodic=True,
+                                       nsub=args.nsub, halo=args.halo)
         label = "Pallas"
 
     out = step_n(f)

@@ -87,3 +87,50 @@ def test_multichip_fused_step(eight_devices):
     out = step(f_sh, m_sh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_temporal_blocking_bitwise(periodic):
+    """nsub>1 (multiple LBM steps per HBM round-trip) must reproduce the
+    single-step kernel bit-for-bit: same op order per sub-step, rolls are
+    exact copies, and the halo margin (2 rows/sub-step) is never exceeded."""
+    p = sc.SCParams(collision="mrt")
+    nx, ny = 128, 64
+    f = sc.init_droplet(nx, ny, p, radius=10.0, dtype=jnp.float32)
+    fluid = (sc.geometry_periodic(nx, ny) if periodic
+             else sc.geometry_channel_walls(nx, ny))
+    f = sc.apply_geometry(f, fluid)
+    fl = fluid.astype(jnp.float32)
+    r1 = pallas_sc.run_fused(f, fl, p, 8, tile=32, interpret=True,
+                             periodic=periodic, nsub=1)
+    r2 = pallas_sc.run_fused(f, fl, p, 8, tile=32, interpret=True,
+                             periodic=periodic, nsub=2)
+    r8 = pallas_sc.run_fused(f, fl, p, 8, tile=32, interpret=True,
+                             periodic=periodic, nsub=8, halo=16)
+    rrem = pallas_sc.run_fused(f, fl, p, 7, tile=32, interpret=True,
+                               periodic=periodic, nsub=4)
+    rrem1 = pallas_sc.run_fused(f, fl, p, 7, tile=32, interpret=True,
+                                periodic=periodic, nsub=1)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r8))
+    np.testing.assert_array_equal(np.asarray(rrem1), np.asarray(rrem))
+
+
+def test_halo_mode_temporal_blocking():
+    """nsub>1 through the multi-chip halo-mode entry: 2 steps per halo
+    exchange equals 2 chained single-step exchanges."""
+    from multiphase_lbm_tpu.ops.pallas_sc import HALO, step_fused_halo
+
+    p = sc.SCParams(collision="mrt")
+    nx, ny = 128, 32
+    f = sc.init_droplet(nx, ny, p, radius=6.0, dtype=jnp.float32)
+    fluid = sc.geometry_periodic(nx, ny).astype(jnp.float32)
+
+    def pad(v):
+        return jnp.concatenate([v[:, -HALO:], v, v[:, :HALO]], axis=1)
+
+    m_ext = jnp.concatenate([fluid[-HALO:], fluid, fluid[:HALO]], axis=0)
+    one = step_fused_halo(pad(f), m_ext, p, tile=8, interpret=True)
+    two = step_fused_halo(pad(one), m_ext, p, tile=8, interpret=True)
+    fused = step_fused_halo(pad(f), m_ext, p, tile=8, interpret=True, nsub=2)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(two))
