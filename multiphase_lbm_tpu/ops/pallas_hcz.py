@@ -46,16 +46,21 @@ def _roll2(arr, cy, cx):
     return out
 
 
+REACH = 3  # per-step physical reach: grad(lap(phi)) = 2 + streaming 1
+
+
 def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
-                 halo_in: bool = False):
+                 halo_in: bool = False, nsub: int = 1, halo: int = HALO):
     lat = D2Q9
     w = lat.w
     c = lat.c
     opp = lat.opp
-    Text = Ty + 2 * HALO
+    Text = Ty + 2 * halo
     nprog = ny // Ty
     dphi = p.phi_l - p.phi_g
     drho = p.rho_l - p.rho_g
+    # temporal blocking: each sub-step consumes REACH halo rows of validity
+    assert 1 <= nsub <= halo // REACH, (nsub, halo)
 
     def cs_pressure(r):
         rt = p.b * r / 4.0
@@ -76,56 +81,64 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
             if halo_in:
                 cp(hbm.at[:, pl.ds(y0, Text), :], buf.at[:, :, :], slot)
             elif nprog == 1:
-                cp(hbm.at[:, pl.ds(ny - HALO, HALO), :], buf.at[:, pl.ds(0, HALO), :], slot)
-                cp(hbm.at[:, pl.ds(0, ny), :], buf.at[:, pl.ds(HALO, ny), :], slot)
-                cp(hbm.at[:, pl.ds(0, HALO), :], buf.at[:, pl.ds(HALO + ny, HALO), :], slot)
+                cp(hbm.at[:, pl.ds(ny - halo, halo), :], buf.at[:, pl.ds(0, halo), :], slot)
+                cp(hbm.at[:, pl.ds(0, ny), :], buf.at[:, pl.ds(halo, ny), :], slot)
+                cp(hbm.at[:, pl.ds(0, halo), :], buf.at[:, pl.ds(halo + ny, halo), :], slot)
             else:
                 @pl.when(i == 0)
                 def _():
-                    cp(hbm.at[:, pl.ds(ny - HALO, HALO), :], buf.at[:, pl.ds(0, HALO), :], slot)
-                    cp(hbm.at[:, pl.ds(0, Ty + HALO), :], buf.at[:, pl.ds(HALO, Ty + HALO), :], slot)
+                    cp(hbm.at[:, pl.ds(ny - halo, halo), :], buf.at[:, pl.ds(0, halo), :], slot)
+                    cp(hbm.at[:, pl.ds(0, Ty + halo), :], buf.at[:, pl.ds(halo, Ty + halo), :], slot)
 
                 @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
                 def _():
-                    cp(hbm.at[:, pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], buf.at[:, :, :], slot)
+                    cp(hbm.at[:, pl.ds(pl.multiple_of(y0 - halo, 8), Text), :], buf.at[:, :, :], slot)
 
                 @pl.when(i == nprog - 1)
                 def _():
-                    cp(hbm.at[:, pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), :],
-                       buf.at[:, pl.ds(0, Ty + HALO), :], slot)
-                    cp(hbm.at[:, pl.ds(0, HALO), :], buf.at[:, pl.ds(Ty + HALO, HALO), :], slot)
+                    cp(hbm.at[:, pl.ds(pl.multiple_of(y0 - halo, 8), Ty + halo), :],
+                       buf.at[:, pl.ds(0, Ty + halo), :], slot)
+                    cp(hbm.at[:, pl.ds(0, halo), :], buf.at[:, pl.ds(Ty + halo, halo), :], slot)
 
         def load2d(hbm, buf, slot):
             if halo_in:
                 cp(hbm.at[pl.ds(y0, Text), :], buf.at[:, :], slot)
             elif nprog == 1:
-                cp(hbm.at[pl.ds(ny - HALO, HALO), :], buf.at[pl.ds(0, HALO), :], slot)
-                cp(hbm.at[pl.ds(0, ny), :], buf.at[pl.ds(HALO, ny), :], slot)
-                cp(hbm.at[pl.ds(0, HALO), :], buf.at[pl.ds(HALO + ny, HALO), :], slot)
+                cp(hbm.at[pl.ds(ny - halo, halo), :], buf.at[pl.ds(0, halo), :], slot)
+                cp(hbm.at[pl.ds(0, ny), :], buf.at[pl.ds(halo, ny), :], slot)
+                cp(hbm.at[pl.ds(0, halo), :], buf.at[pl.ds(halo + ny, halo), :], slot)
             else:
                 @pl.when(i == 0)
                 def _():
-                    cp(hbm.at[pl.ds(ny - HALO, HALO), :], buf.at[pl.ds(0, HALO), :], slot)
-                    cp(hbm.at[pl.ds(0, Ty + HALO), :], buf.at[pl.ds(HALO, Ty + HALO), :], slot)
+                    cp(hbm.at[pl.ds(ny - halo, halo), :], buf.at[pl.ds(0, halo), :], slot)
+                    cp(hbm.at[pl.ds(0, Ty + halo), :], buf.at[pl.ds(halo, Ty + halo), :], slot)
 
                 @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
                 def _():
-                    cp(hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Text), :], buf.at[:, :], slot)
+                    cp(hbm.at[pl.ds(pl.multiple_of(y0 - halo, 8), Text), :], buf.at[:, :], slot)
 
                 @pl.when(i == nprog - 1)
                 def _():
-                    cp(hbm.at[pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), :],
-                       buf.at[pl.ds(0, Ty + HALO), :], slot)
-                    cp(hbm.at[pl.ds(0, HALO), :], buf.at[pl.ds(Ty + HALO, HALO), :], slot)
+                    cp(hbm.at[pl.ds(pl.multiple_of(y0 - halo, 8), Ty + halo), :],
+                       buf.at[pl.ds(0, Ty + halo), :], slot)
+                    cp(hbm.at[pl.ds(0, halo), :], buf.at[pl.ds(Ty + halo, halo), :], slot)
 
         load(f_hbm, fbuf, 0)
         load(g_hbm, gbuf, 1)
         load2d(m_hbm, mbuf, 2)
 
-        fb = fbuf[:, :, :]
-        gb = gbuf[:, :, :]
         mb = mbuf[:, :]
+        cf = [fbuf[k, :, :] for k in range(9)]
+        cg = [gbuf[k, :, :] for k in range(9)]
+        for _ in range(nsub):
+            cf, cg = step_block(cf, cg, mb)
+        for k in range(9):
+            outf_ref[k, :, :] = cf[k][halo:halo + Ty, :]
+            outg_ref[k, :, :] = cg[k][halo:halo + Ty, :]
 
+    def step_block(fb, gb, mb):
+        """One full HCZ step on the halo-extended block; output rows within
+        REACH of the block edge are garbage (rolls wrap at block edges)."""
         # ── macroscopic fields on the extended block ──
         phi = fb[0]
         Pterm = gb[0]
@@ -214,6 +227,7 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
             post_g.append(pg)
 
         # ── pull streaming with on-site bounce-back ──
+        new_f, new_g = [], []
         for k in range(9):
             cx, cy = int(c[k][0]), int(c[k][1])
             if cx == 0 and cy == 0:
@@ -224,26 +238,20 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
                                post_f[opp[k]])
                 ng = jnp.where(up_m > 0.5, _roll2(post_g[k], -cy, -cx),
                                post_g[opp[k]])
-            outf_ref[k, :, :] = (nf * mb)[HALO:HALO + Ty, :]
-            outg_ref[k, :, :] = (ng * mb)[HALO:HALO + Ty, :]
+            new_f.append(nf * mb)
+            new_g.append(ng * mb)
+        return new_f, new_g
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret"))
-def run_fused(f, g, fluid_f32, p: HCZParams, n_steps: int, tile: int = 0,
-              interpret: bool = False):
-    """Advance the HCZ 2D state ``n_steps`` with the fused kernel."""
-    _, ny, nx = f.shape
-    Ty = tile or _pick_tile(ny)
-    assert ny % Ty == 0, (ny, Ty)
-    Text = Ty + 2 * HALO
-    kernel = _make_kernel(p, ny, nx, Ty)
-
-    call = pl.pallas_call(
+def _make_call(p, ny, nx, Ty, interpret, nsub, halo, f_shape, g_shape, dtype):
+    Text = Ty + 2 * halo
+    kernel = _make_kernel(p, ny, nx, Ty, nsub=nsub, halo=halo)
+    return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct(f.shape, f.dtype),
-                   jax.ShapeDtypeStruct(g.shape, g.dtype)),
+        out_shape=(jax.ShapeDtypeStruct(f_shape, dtype),
+                   jax.ShapeDtypeStruct(g_shape, dtype)),
         grid=(ny // Ty,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=(pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
@@ -261,24 +269,45 @@ def run_fused(f, g, fluid_f32, p: HCZParams, n_steps: int, tile: int = 0,
         interpret=interpret,
     )
 
+
+@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret",
+                                   "nsub", "halo"))
+def run_fused(f, g, fluid_f32, p: HCZParams, n_steps: int, tile: int = 0,
+              interpret: bool = False, nsub: int = 1, halo: int = HALO):
+    """Advance the HCZ 2D state ``n_steps`` with the fused kernel.
+
+    ``nsub`` LBM steps run per kernel launch (temporal blocking; the halo
+    must cover ``REACH=3`` rows per sub-step, so nsub ≤ halo//3)."""
+    _, ny, nx = f.shape
+    Ty = tile or _pick_tile(ny)
+    assert ny % Ty == 0, (ny, Ty)
+    call = _make_call(p, ny, nx, Ty, interpret, nsub, halo,
+                      f.shape, g.shape, f.dtype)
+
     def body(carry, _):
         fa, ga = carry
         return call(fa, ga, fluid_f32), None
 
-    (f, g), _ = jax.lax.scan(body, (f, g), None, length=n_steps)
+    (f, g), _ = jax.lax.scan(body, (f, g), None, length=n_steps // nsub)
+    rem = n_steps % nsub
+    if rem:
+        call1 = _make_call(p, ny, nx, Ty, interpret, rem, halo,
+                           f.shape, g.shape, f.dtype)
+        f, g = call1(f, g, fluid_f32)
     return f, g
 
 
 def step_fused_halo(f_ext, g_ext, fluid_ext_f32, p: HCZParams, tile: int = 0,
-                    interpret: bool = False):
-    """One fused HCZ step on halo-extended blocks (``ny+2*HALO`` rows with
-    filled halos) — the multi-chip building block."""
+                    interpret: bool = False, nsub: int = 1):
+    """``nsub`` fused HCZ steps on halo-extended blocks (``ny+2*HALO`` rows
+    with filled halos) — the multi-chip building block (nsub ≤ HALO//REACH
+    steps per halo exchange)."""
     _, ny_ext, nx = f_ext.shape
     ny = ny_ext - 2 * HALO
     Ty = tile or _pick_tile(ny)
     assert ny % Ty == 0, (ny, Ty)
     Text = Ty + 2 * HALO
-    kernel = _make_kernel(p, ny, nx, Ty, halo_in=True)
+    kernel = _make_kernel(p, ny, nx, Ty, halo_in=True, nsub=nsub)
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((9, ny, nx), f_ext.dtype),

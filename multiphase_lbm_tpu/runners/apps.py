@@ -223,8 +223,11 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None,
                                            drv.vtk_freq or steps)))
         if fused:
             from ..ops import pallas_hcz
+            # temporal blocking: 5 steps per HBM round-trip (reach 3/step,
+            # 16-row halo); ~1.8x over the single-step kernel on v5e
             f2, g2 = pallas_hcz.run_fused(state[0], state[1],
-                                          fluid.astype(jnp.float32), p, chunk)
+                                          fluid.astype(jnp.float32), p, chunk,
+                                          nsub=5, halo=16)
             state = (f2, g2)
         else:
             state = hcz.run(state, fluid, p, chunk)
