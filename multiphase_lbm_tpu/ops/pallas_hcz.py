@@ -57,6 +57,9 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
     opp = lat.opp
     Text = Ty + 2 * halo
     nprog = ny // Ty
+    # middle-stripe loads span [y0-halo, y0+Ty+halo): in bounds only when
+    # halo <= Ty (else stripes 1 and nprog-2 DMA out of bounds)
+    assert nprog == 1 or Ty >= halo, (Ty, halo)
     dphi = p.phi_l - p.phi_g
     drho = p.rho_l - p.rho_g
     # temporal blocking: each sub-step consumes REACH halo rows of validity

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.lattice import D3Q19
 from ..models.hcz import HCZParams
 
-HALO = 3
+HALO = 3   # per-step physical reach: grad(lap(phi)) = 2 + streaming 1
 Q = 19
 
 
@@ -40,11 +40,16 @@ def _roll3(arr, cz, cy, cx):
     return out
 
 
-def _make_kernel(p: HCZParams, nz, ny, nx, Tz):
+def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
     lat = D3Q19
     w, c, opp = lat.w, lat.c, lat.opp
-    Text = Tz + 2 * HALO
+    halo = HALO * nsub          # z slices carry no Mosaic alignment constraint
+    Text = Tz + 2 * halo
     nprog = nz // Tz
+    # middle-stripe loads span [z0-halo, z0+Tz+halo); they stay in bounds
+    # only when halo <= Tz (otherwise stripes 1 and nprog-2 read past the
+    # array ends -- an out-of-bounds DMA on hardware)
+    assert nprog == 1 or Tz >= halo, (Tz, halo)
     dphi = p.phi_l - p.phi_g
     drho = p.rho_l - p.rho_g
 
@@ -65,30 +70,38 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz):
 
         def load(hbm, buf, slot):
             if nprog == 1:
-                cp(hbm.at[:, pl.ds(nz - HALO, HALO)], buf.at[:, pl.ds(0, HALO)], slot)
-                cp(hbm.at[:, pl.ds(0, nz)], buf.at[:, pl.ds(HALO, nz)], slot)
-                cp(hbm.at[:, pl.ds(0, HALO)], buf.at[:, pl.ds(HALO + nz, HALO)], slot)
+                cp(hbm.at[:, pl.ds(nz - halo, halo)], buf.at[:, pl.ds(0, halo)], slot)
+                cp(hbm.at[:, pl.ds(0, nz)], buf.at[:, pl.ds(halo, nz)], slot)
+                cp(hbm.at[:, pl.ds(0, halo)], buf.at[:, pl.ds(halo + nz, halo)], slot)
             else:
                 @pl.when(i == 0)
                 def _():
-                    cp(hbm.at[:, pl.ds(nz - HALO, HALO)], buf.at[:, pl.ds(0, HALO)], slot)
-                    cp(hbm.at[:, pl.ds(0, Tz + HALO)], buf.at[:, pl.ds(HALO, Tz + HALO)], slot)
+                    cp(hbm.at[:, pl.ds(nz - halo, halo)], buf.at[:, pl.ds(0, halo)], slot)
+                    cp(hbm.at[:, pl.ds(0, Tz + halo)], buf.at[:, pl.ds(halo, Tz + halo)], slot)
 
                 @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
                 def _():
-                    cp(hbm.at[:, pl.ds(z0 - HALO, Text)], buf.at[:, :], slot)
+                    cp(hbm.at[:, pl.ds(z0 - halo, Text)], buf.at[:, :], slot)
 
                 @pl.when(i == nprog - 1)
                 def _():
-                    cp(hbm.at[:, pl.ds(z0 - HALO, Tz + HALO)],
-                       buf.at[:, pl.ds(0, Tz + HALO)], slot)
-                    cp(hbm.at[:, pl.ds(0, HALO)], buf.at[:, pl.ds(Tz + HALO, HALO)], slot)
+                    cp(hbm.at[:, pl.ds(z0 - halo, Tz + halo)],
+                       buf.at[:, pl.ds(0, Tz + halo)], slot)
+                    cp(hbm.at[:, pl.ds(0, halo)], buf.at[:, pl.ds(Tz + halo, halo)], slot)
 
         load(f_hbm, fbuf, 0)
         load(g_hbm, gbuf, 1)
-        fb = fbuf[:, :, :, :]
-        gb = gbuf[:, :, :, :]
+        cf = [fbuf[k, :, :, :] for k in range(Q)]
+        cg = [gbuf[k, :, :, :] for k in range(Q)]
+        for _ in range(nsub):
+            cf, cg = step_block(cf, cg)
+        for k in range(Q):
+            outf_ref[k] = cf[k][halo:halo + Tz]
+            outg_ref[k] = cg[k][halo:halo + Tz]
 
+    def step_block(fb, gb):
+        """One full 3D HCZ step on the halo-extended block; output slabs
+        within HALO of the block edge are garbage (z rolls wrap there)."""
         phi = fb[0]
         Pterm = gb[0]
         for k in range(1, Q):
@@ -174,6 +187,7 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz):
             post_f.append((1.0 - p.omega) * fb[k] + p.omega * eqf + ff)
             post_g.append((1.0 - p.omega) * gb[k] + p.omega * eqg + fg)
 
+        new_f, new_g = [], []
         for k in range(Q):
             cx, cy, cz = int(c[k][0]), int(c[k][1]), int(c[k][2])
             if cx == 0 and cy == 0 and cz == 0:
@@ -181,26 +195,20 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz):
             else:
                 nf = _roll3(post_f[k], -cz, -cy, -cx)
                 ng = _roll3(post_g[k], -cz, -cy, -cx)
-            outf_ref[k] = nf[HALO:HALO + Tz]
-            outg_ref[k] = ng[HALO:HALO + Tz]
+            new_f.append(nf)
+            new_g.append(ng)
+        return new_f, new_g
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret"))
-def run_fused_3d(f, g, p: HCZParams, n_steps: int, tile: int = 4,
-                 interpret: bool = False):
-    """Advance the fully-periodic 3D HCZ state with the fused kernel."""
-    _, nz, ny, nx = f.shape
-    Tz = tile
-    assert nz % Tz == 0, (nz, Tz)
-    Text = Tz + 2 * HALO
-    kernel = _make_kernel(p, nz, ny, nx, Tz)
-
-    call = pl.pallas_call(
+def _make_call(p, nz, ny, nx, Tz, interpret, nsub, shape, dtype):
+    Text = Tz + 2 * HALO * nsub
+    kernel = _make_kernel(p, nz, ny, nx, Tz, nsub=nsub)
+    return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct(f.shape, f.dtype),
-                   jax.ShapeDtypeStruct(g.shape, g.dtype)),
+        out_shape=(jax.ShapeDtypeStruct(shape, dtype),
+                   jax.ShapeDtypeStruct(shape, dtype)),
         grid=(nz // Tz,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(pl.BlockSpec((Q, Tz, ny, nx), lambda i: (0, i, 0, 0),
@@ -217,9 +225,25 @@ def run_fused_3d(f, g, p: HCZParams, n_steps: int, tile: int = 4,
         interpret=interpret,
     )
 
+
+@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret",
+                                   "nsub"))
+def run_fused_3d(f, g, p: HCZParams, n_steps: int, tile: int = 4,
+                 interpret: bool = False, nsub: int = 1):
+    """Advance the fully-periodic 3D HCZ state with the fused kernel;
+    ``nsub`` steps per launch (temporal blocking, z-halo = 3·nsub slabs)."""
+    _, nz, ny, nx = f.shape
+    Tz = tile
+    assert nz % Tz == 0, (nz, Tz)
+    call = _make_call(p, nz, ny, nx, Tz, interpret, nsub, f.shape, f.dtype)
+
     def body(carry, _):
         fa, ga = carry
         return call(fa, ga), None
 
-    (f, g), _ = jax.lax.scan(body, (f, g), None, length=n_steps)
+    (f, g), _ = jax.lax.scan(body, (f, g), None, length=n_steps // nsub)
+    rem = n_steps % nsub
+    if rem:
+        f, g = _make_call(p, nz, ny, nx, Tz, interpret, rem,
+                          f.shape, f.dtype)(f, g)
     return f, g

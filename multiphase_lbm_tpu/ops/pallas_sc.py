@@ -76,6 +76,9 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
     opp = lat.opp
     Text = Ty + 2 * halo
     nprog = ny // Ty
+    # middle-stripe loads span [y0-halo, y0+Ty+halo): in bounds only when
+    # halo <= Ty (else stripes 1 and nprog-2 DMA out of bounds)
+    assert nprog == 1 or Ty >= halo, (Ty, halo)
     T = p.T
     a, R = p.a, p.R
     # temporal blocking: each sub-step consumes 2 halo rows of validity

@@ -22,3 +22,19 @@ def test_fused_3d_matches_reference():
                                rtol=5e-5, atol=5e-6)
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
                                rtol=5e-5, atol=5e-6)
+
+
+def test_hcz3d_temporal_blocking_matches():
+    """nsub=2 (two steps per HBM round-trip, z-halo 6 slabs) matches the
+    single-step kernel to f32 roundoff, including a remainder step."""
+    p = hcz.HCZParams()
+    f, g = hcz.init_droplet_3d(128, 32, 24, p, radius=6.0, dtype=jnp.float32)
+    # tile must be >= halo = 3*nsub (stripe loads stay in bounds)
+    r1 = pallas_hcz3d.run_fused_3d(f, g, p, 4, tile=8, interpret=True, nsub=1)
+    r2 = pallas_hcz3d.run_fused_3d(f, g, p, 4, tile=8, interpret=True, nsub=2)
+    rr = pallas_hcz3d.run_fused_3d(f, g, p, 3, tile=8, interpret=True, nsub=2)
+    rr1 = pallas_hcz3d.run_fused_3d(f, g, p, 3, tile=8, interpret=True, nsub=1)
+    for a, b in [(r1, r2), (rr1, rr)]:
+        for i in range(2):
+            np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b[i]),
+                                       rtol=2e-5, atol=1e-6)
