@@ -139,9 +139,12 @@ def _run_sc(p, f, fluid, steps, cfg, outdir, dx, dt, contact):
 
 
 # ─── Fakhari Young-Laplace (reference Young_Laplace2D.h :456-568) ──────────
-def run_young_laplace2d(config, outdir, dtype=jnp.float64, max_steps=None):
+def run_young_laplace2d(config, outdir, dtype=jnp.float64, max_steps=None,
+                        fused=False):
     cfg = load_config(config)
     N = _int(cfg, "N", 128)
+    if fused:
+        dtype = jnp.float32
     p = fk.FakhariParams(
         sigma=_num(cfg, "Sigma", 0.01), W=_num(cfg, "W", 4.0),
         M=_num(cfg, "M", 0.02), rhol=_num(cfg, "RhoL", 0.001),
@@ -172,7 +175,11 @@ def run_young_laplace2d(config, outdir, dtype=jnp.float64, max_steps=None):
                                                drv.vtk_freq or steps)))
         if chunk <= 0:
             break
-        state = fk.run(state, p, chunk)
+        if fused:
+            from ..ops import pallas_fakhari
+            state = pallas_fakhari.run_fused(*state, p, chunk)
+        else:
+            state = fk.run(state, p, chunk)
         drv.clock.tick(chunk)
         it += chunk
     drv.finish()

@@ -54,7 +54,8 @@ def main(argv=None):
     ap.add_argument("--f32", action="store_true",
                     help="run in float32 (TPU production dtype)")
     ap.add_argument("--fused", action="store_true",
-                    help="use the fused Pallas kernel path (rayleighTaylor2D)")
+                    help="use the fused Pallas kernel path "
+                         "(rayleighTaylor2D, Young_Laplace2D)")
     ap.add_argument("--N", type=int, default=64,
                     help="resolution for PulsatileBloodFlow2D")
     ap.add_argument("--scheme", default="li2014",
@@ -76,7 +77,7 @@ def main(argv=None):
 
     fn, needs_cfg = PROBLEMS[args.problem]
     extra = {}
-    if args.fused and args.problem == "rayleighTaylor2D":
+    if args.fused and args.problem in ("rayleighTaylor2D", "Young_Laplace2D"):
         extra["fused"] = True
     cfg = args.config
     if cfg is None:
