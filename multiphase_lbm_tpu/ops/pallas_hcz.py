@@ -27,12 +27,17 @@ from ..models.hcz import HCZParams
 HALO = 8
 
 
-def _pick_tile(ny: int, target: int = 32) -> int:
+def _pick_tile(ny: int, target: int = 32, minimum: int = 8) -> int:
+    """Largest 8-multiple divisor of ny in [minimum, target]; falls back to
+    the smallest admissible divisor above target (tile must be >= halo)."""
     best = 0
-    for t in range(8, min(ny, target) + 1, 8):
-        if ny % t == 0:
+    for t in range(8, min(ny, max(target, minimum)) + 1, 8):
+        if ny % t == 0 and t >= minimum:
             best = t
     if best == 0:
+        for t in range(max(8, minimum), ny + 1, 8):
+            if ny % t == 0:
+                return t
         raise ValueError(f"ny={ny} has no 8-multiple stripe height")
     return best
 
@@ -282,7 +287,7 @@ def run_fused(f, g, fluid_f32, p: HCZParams, n_steps: int, tile: int = 0,
     ``nsub`` LBM steps run per kernel launch (temporal blocking; the halo
     must cover ``REACH=3`` rows per sub-step, so nsub ≤ halo//3)."""
     _, ny, nx = f.shape
-    Ty = tile or _pick_tile(ny)
+    Ty = tile or _pick_tile(ny, minimum=halo)
     assert ny % Ty == 0, (ny, Ty)
     call = _make_call(p, ny, nx, Ty, interpret, nsub, halo,
                       f.shape, g.shape, f.dtype)

@@ -42,16 +42,21 @@ from ..models.shan_chen import SCParams
 HALO = 8
 
 
-def _pick_tile(ny: int, target: int = 64) -> int:
-    """Largest divisor of ny that is ≤ target and a multiple of 8
-    (Mosaic sublane alignment)."""
+def _pick_tile(ny: int, target: int = 64, minimum: int = 8) -> int:
+    """Largest divisor of ny that is ≤ target and a multiple of 8 (Mosaic
+    sublane alignment), but at least ``minimum`` (the stripe-load bound
+    tile ≥ halo); falls back to the smallest admissible divisor above
+    target when none fits below it."""
     best = 0
-    for t in range(8, min(ny, target) + 1, 8):
-        if ny % t == 0:
+    for t in range(8, min(ny, max(target, minimum)) + 1, 8):
+        if ny % t == 0 and t >= minimum:
             best = t
     if best == 0:
-        raise ValueError(f"ny={ny} has no stripe height that is a multiple of 8; "
-                         "use the XLA path for this shape")
+        for t in range(max(8, minimum), ny + 1, 8):
+            if ny % t == 0:
+                return t
+        raise ValueError(f"ny={ny} has no stripe height that is a multiple "
+                         "of 8; use the XLA path for this shape")
     return best
 
 
@@ -303,7 +308,7 @@ def run_fused(f, fluid_f32, p: SCParams, n_steps: int, tile: int = 0,
         sub-step, rolls are exact copies).
     """
     _, ny, nx = f.shape
-    Ty = tile or _pick_tile(ny)
+    Ty = tile or _pick_tile(ny, minimum=halo)
     assert ny % Ty == 0, (ny, Ty)
     call = _make_call(p, ny, nx, Ty, interpret, periodic, nsub, halo)
 
