@@ -128,14 +128,18 @@ def make_halo_step(step_fn: Callable, mesh: Mesh, width: int,
     return jax.jit(shard_fn)
 
 
-def make_fused_sc_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False):
+def make_fused_sc_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False,
+                       nsub: int = 1):
     """Multi-chip fused Shan-Chen step: y-sharded lattice, 8-row halo
     exchange over ICI via ring ppermute, then the halo-mode Pallas kernel on
     each shard (reads its halos from the pre-exchanged rows — no wrap logic).
 
     The mesh must have a single axis 'y'; the GLOBAL lattice is
     ``(9, ny, nx)`` sharded on axis 1.  Global y-periodicity rides the
-    permute ring.
+    permute ring.  ``nsub > 1`` advances several LBM steps per halo
+    exchange (the 8-row exchange covers up to 4 steps of reach), amortising
+    the ICI collective; the returned function then advances ``nsub`` steps
+    per call.
     """
     from ..ops import pallas_sc
 
@@ -145,7 +149,7 @@ def make_fused_sc_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False):
         f_ext = _exchange_axis(f_loc, H, 1, "y")
         m_ext = _exchange_axis(m_loc, H, 0, "y")
         return pallas_sc.step_fused_halo(f_ext, m_ext, p, tile=tile,
-                                         interpret=interpret)
+                                         interpret=interpret, nsub=nsub)
 
     shard_fn = jax.shard_map(
         local_step, mesh=mesh,
@@ -155,10 +159,13 @@ def make_fused_sc_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False):
     return jax.jit(shard_fn)
 
 
-def make_fused_hcz_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False):
+def make_fused_hcz_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False,
+                        nsub: int = 1):
     """Multi-chip fused HCZ step (y-sharded; 8-row ring halo exchange +
     halo-mode Pallas kernel per shard).  Scales the RTI workloads beyond one
-    chip's HBM."""
+    chip's HBM.  ``nsub > 1`` advances several steps per halo exchange
+    (reach 3/step → up to 2 with the 8-row exchange); the returned function
+    then advances ``nsub`` steps per call."""
     from ..ops import pallas_hcz
 
     H = pallas_hcz.HALO
@@ -168,7 +175,7 @@ def make_fused_hcz_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False):
         g_ext = _exchange_axis(g_loc, H, 1, "y")
         m_ext = _exchange_axis(m_loc, H, 0, "y")
         return pallas_hcz.step_fused_halo(f_ext, g_ext, m_ext, p, tile=tile,
-                                          interpret=interpret)
+                                          interpret=interpret, nsub=nsub)
 
     shard_fn = jax.shard_map(
         local_step, mesh=mesh,

@@ -134,3 +134,25 @@ def test_halo_mode_temporal_blocking():
     two = step_fused_halo(pad(one), m_ext, p, tile=8, interpret=True)
     fused = step_fused_halo(pad(f), m_ext, p, tile=8, interpret=True, nsub=2)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(two))
+
+
+def test_multichip_temporal_blocking(eight_devices):
+    """nsub=2 through the sharded step: 2 LBM steps per ICI halo exchange
+    equals 2 steps of the XLA reference."""
+    from multiphase_lbm_tpu.parallel import sharding as sh
+
+    p = sc.SCParams()
+    nx, ny = 128, 64
+    f = sc.init_droplet(nx, ny, p, radius=8.0, dtype=jnp.float32)
+    fluid = sc.geometry_periodic(nx, ny)
+    ref = sc.run(f, fluid, p, 2)
+    mesh = sh.make_mesh(4, axis_names=("y",))
+    step = sh.make_fused_sc_step(mesh, p, tile=8, interpret=True, nsub=2)
+    f_sh = jax.device_put(f, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "y", None)))
+    m_sh = jax.device_put(fluid.astype(jnp.float32),
+                          jax.sharding.NamedSharding(
+                              mesh, jax.sharding.PartitionSpec("y", None)))
+    out = step(f_sh, m_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
