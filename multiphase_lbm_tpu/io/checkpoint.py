@@ -4,9 +4,10 @@ Two mechanisms, mirroring and extending the reference (SURVEY §5.4):
 
 * **Reference-compatible flow warm start** — the combustion module's
   ``save_converged_f_solution`` / ``Einlesefunktion_F`` text format
-  (``CooLBM_MRT_combustion.cpp:3129-3178``): one ``f`` value per line,
-  ordered ``k``-major then cell index (i = y + ny*x).  We read and write that
-  exact layout so converged flow fields interchange with the C++.
+  (``CooLBM_MRT_combustion.cpp:3129-3178``): header ``nx ny q``, then one
+  line of q values per cell, x-major outer, y inner, k innermost per line.
+  We read and write that exact layout so converged flow fields interchange
+  with the C++.
 * **Full-state checkpoints** — any model's state pytree to a single ``.npz``
   (every leaf array + structure metadata), restoring to the original pytree
   shape.  Covers all distributions + macro fields + wall geometry, i.e. the
@@ -63,14 +64,24 @@ def save_state(path, state, meta: dict | None = None):
 
 def load_state(path, like_state):
     """Restore a checkpoint into the structure of ``like_state``
-    (shapes/dtypes validated leaf-by-leaf)."""
+    (shapes and dtypes validated leaf-by-leaf; a dtype mismatch raises
+    rather than silently changing the run's precision)."""
     data = np.load(path)
     leaves, treedef = jax.tree.flatten(like_state)
+    n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n_saved != len(leaves):
+        raise ValueError(f"checkpoint has {n_saved} leaves, "
+                         f"like_state has {len(leaves)}")
     new = []
     for i, ref in enumerate(leaves):
         arr = data[f"leaf_{i}"]
-        assert arr.shape == tuple(np.shape(ref)), (
-            f"leaf {i}: {arr.shape} vs {np.shape(ref)}")
+        if arr.shape != tuple(np.shape(ref)):
+            raise ValueError(f"leaf {i}: shape {arr.shape} vs "
+                             f"{tuple(np.shape(ref))}")
+        want = np.dtype(getattr(ref, "dtype", None) or np.asarray(ref).dtype)
+        if arr.dtype != want:
+            raise ValueError(f"leaf {i}: dtype {arr.dtype} vs {want}; "
+                             "cast the checkpoint explicitly if intended")
         new.append(arr)
     return jax.tree.unflatten(treedef, new)
 

@@ -855,13 +855,17 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
 @partial(jax.jit, static_argnames=("p", "n_steps", "konv", "first_step"))
 def run(state: CombustionState, p: CombustionParams, n_steps: int,
         konv: bool = True, first_step: bool = False):
-    step, _ = make_step(p, konv=konv, first_step=first_step)
+    # first_step applies only to the initial transition (g_coll not yet
+    # populated); the scan body always runs the steady-state step so the
+    # LI2014 conjugate-interface BC is active from step 2 on.
+    if first_step and n_steps > 0:
+        step_first, _ = make_step(p, konv=konv, first_step=True)
+        state = step_first(state)
+        n_steps -= 1
+    step, _ = make_step(p, konv=konv, first_step=False)
 
     def body(carry, _):
         return step(carry), None
-    if first_step and n_steps > 0:
-        state = step(state)
-        n_steps -= 1
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state
 

@@ -129,3 +129,37 @@ def geometry_channel(nx, ny):
     fluid = np.ones((ny, nx), dtype=bool)
     fluid[0] = fluid[-1] = False
     return jnp.asarray(fluid)
+
+
+# ─── diagnostics ───────────────────────────────────────────────────────────
+def kinetic_energy(f, fluid, p: SCRTParams, lattice: Lattice = D2Q9):
+    """Mean kinetic energy ½⟨|u + F/2ρ|²⟩ over the box (the reference
+    RayleighTaylor2D.h driver's computeEnergy → energy.dat log)."""
+    rho = density(f)
+    rho_safe = jnp.maximum(rho, RHO_FLOOR)
+    c = jnp.asarray(lattice.c, dtype=f.dtype)
+    u = jnp.einsum("kd,k...->d...", c, f) / rho_safe[None]
+    F = force_ff(rho, fluid, p, lattice)
+    ua = u + 0.5 * F / rho_safe[None]
+    e = jnp.sum(jnp.where(fluid[None], ua, 0.0) ** 2)
+    return 0.5 * e / fluid.size
+
+
+def interface_height(rho_host: np.ndarray, fluid_host: np.ndarray,
+                     p: SCRTParams):
+    """Spike (heavy-finger lowest point, x=0 column) and bubble (light-finger
+    highest point, mid column) heights of the cos-perturbed interface, in
+    lattice units; mirrors the PF module's findInterfaceHeights semantics
+    applied to rho (heavy on top here, so the spike descends)."""
+    ny, nx = rho_host.shape
+    rho_cut = 0.5 * (p.rhol + p.rhog)
+    spike_col = 0          # interface trough is at x=0 (cos maximum)
+    bub_col = nx // 2      # crest at x=nx/2
+    ys = np.arange(ny)
+    fs = fluid_host[:, spike_col]
+    heavy_s = (rho_host[:, spike_col] > rho_cut) & fs
+    spike = float(ys[heavy_s].min()) if heavy_s.any() else float(ny)
+    fb = fluid_host[:, bub_col]
+    light_b = (rho_host[:, bub_col] <= rho_cut) & fb
+    bubble = float(ys[light_b].max()) if light_b.any() else 0.0
+    return spike, bubble

@@ -75,6 +75,14 @@ def _roll2(arr, cy, cx):
 def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
                  periodic: bool = False, halo_in: bool = False,
                  nsub: int = 1, halo: int = HALO):
+    # the kernel implements only the Yuan-CS branch with rho-scaled body
+    # forces; fail loudly on params it would silently mis-simulate
+    # (const_g layered flow, per-node gx_u/gy_u — use the XLA path).
+    if p.psi_mode != "yuan" or p.gx_u != 0.0 or p.gy_u != 0.0:
+        raise NotImplementedError(
+            "fused SC kernel supports psi_mode='yuan' with gx_u=gy_u=0 only "
+            f"(got psi_mode={p.psi_mode!r}, gx_u={p.gx_u}, gy_u={p.gy_u}); "
+            "run the layered-flow configuration through models.shan_chen.run")
     lat = D2Q9
     w = lat.w
     c = lat.c

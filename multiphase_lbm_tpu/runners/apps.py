@@ -54,7 +54,9 @@ def run_sc_laplace2d(config, outdir, dtype=jnp.float64, max_steps=None):
         R=_num(cfg, "R", 1.0), TT0=_num(cfg, "TT0", 0.875),
         rhol=_num(cfg, "rhol", 1.0), rhog=_num(cfg, "rhog", 0.1),
         rho_w=_num(cfg, "rho_w", 0.12), gravity=_num(cfg, "gravity", 0.0))
-    f = sc.init_droplet(N, N, p, radius=10.0, dtype=dtype)
+    # reference laplace2D.h:137 hardcodes Rdrop=10; honor an RR config key
+    # when present (the contactAngle2D family reads it) with that default
+    f = sc.init_droplet(N, N, p, radius=_num(cfg, "RR", 10.0), dtype=dtype)
     fluid = sc.geometry_periodic(N, N)
     steps = max_steps or int(_num(cfg, "max_t", 10.0) / dt)
     return _run_sc(p, f, fluid, steps, cfg, outdir, dx, dt, contact=False)
@@ -199,13 +201,17 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None,
         rho_g=_num(cfg, "rho_g", 0.04), a=_num(cfg, "a", 4.0),
         b=_num(cfg, "b", 4.0), kappa=_num(cfg, "kappa", 0.01),
         gravity=_num(cfg, "gravity", -6.25e-6))
-    ny = 4 * N + 2
+    ny0 = 4 * N + 2
+    ny = ny0
     if fused:
-        # fused kernel needs 8-multiple row counts; pad with extra wall rows
-        ny = ny + (8 - ny % 8) % 8
+        # the fused kernel needs 8-multiple row counts; pad rows are marked
+        # solid below so the fluid domain is identical to the XLA run
+        ny = ny0 + (8 - ny0 % 8) % 8
         dtype = jnp.float32
     state = hcz.init_rayleigh_taylor(N, ny, p, dtype=dtype)
     fluid = hcz.geometry_channel(N, ny)
+    if ny != ny0:
+        fluid = fluid.at[ny0 - 1:].set(False)   # extend the top wall band
     state = hcz.apply_geometry(state, fluid)
     steps = max_steps or int(_num(cfg, "max_t", 5.01) / dt)
     drv = Driver(outdir, N * ny, out_freq=_int(cfg, "out_freq", 3200),
@@ -344,7 +350,14 @@ def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None):
                           scalars=[("Density", rho)],
                           int_scalars=[("Flag", (~np.asarray(fluid)).astype(int))])
         if drv.want_out(it):
-            drv.log_file("energy.dat").log(it * dt, float(jnp.sum(f)))
+            e = float(rt.kinetic_energy(f, fluid, p)) * dx * dx / (dt * dt)
+            drv.log_file("energy.dat").log(it * dt, e)
+            drv.log_file("mass.dat").log(it * dt,
+                                         float(jnp.sum(rt.density(f) * fluid)))
+            s, bub = rt.interface_height(np.asarray(rt.density(f)),
+                                         np.asarray(fluid), p)
+            drv.log_file("spike_bubble_position.dat").log(
+                it * dt, s * dx, bub * dx)
         chunk = min(steps - it, max(1, drv.out_freq or steps))
         f = rt.run(f, fluid, p, chunk)
         drv.clock.tick(chunk)
