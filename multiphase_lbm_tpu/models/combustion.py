@@ -967,37 +967,95 @@ def save_slice(outdir, state, p: CombustionParams):
         np.savetxt(Path(outdir) / name, arr, fmt="%.8g")
 
 
-def middleline(outdir, state, tab, p: CombustionParams, tag=""):
-    """Centerline T / Y_O2 / Y_CO2 profiles at a fixed time (reference
-    Middleline, :3356-3459)."""
+def middleline(outdir, state, tab, p: CombustionParams, t_ph=0.0,
+               inflow_ux=None):
+    """Centerline profile dump at a fixed physical time (reference
+    Middleline, :3356-3459): ``velocity_middleline_<t>.dat`` with columns
+    pos, ux, uy, T, Y_O2, Y_CO2 averaged over the two center rows; x=0
+    reports the imposed inlet state, non-bulk centerline cells report 0."""
     from pathlib import Path
 
-    yc = p.ny // 2
-    T = np.asarray(macro_scalar(state.gT))[yc]
-    Y1 = np.asarray(macro_scalar(state.gO2))[yc]
-    Y2 = np.asarray(macro_scalar(state.gCO2))[yc]
-    with open(Path(outdir) / f"middleline{tag}.dat", "w") as fh:
-        for x in range(p.nx):
-            fh.write(f"{x} {T[x]:.10g} {Y1[x]:.10g} {Y2[x]:.10g}\n")
+    ny, nx = p.ny, p.nx
+    y1 = ny // 2 - (1 if ny % 2 == 0 else 0)
+    y2 = ny // 2
+    rho, u = macro_flow(state.f)
+    ux = np.asarray(u[0])
+    uy = np.asarray(u[1])
+    T = np.asarray(macro_scalar(state.gT))
+    Y1 = np.asarray(macro_scalar(state.gO2))
+    Y2 = np.asarray(macro_scalar(state.gCO2))
+    bulk = tab["is_bulk"]
+    if inflow_ux is None:
+        yy = np.arange(ny) / (ny - 1.0)
+        inflow_ux = (4.0 * yy * (1.0 - yy) * p.u_inlet if p.inlet_parabolic
+                     else np.full(ny, p.u_inlet))
+    # reference filename: setfill('0') << setw(7) << time with default
+    # 6-digit stream precision
+    name = f"velocity_middleline_{t_ph:07.6g}.dat"
+    width = float(nx - 2)
+    with open(Path(outdir) / name, "w") as fh:
+        for iX in range(nx):
+            if iX == 0:
+                vx = 0.5 * (inflow_ux[y1] + inflow_ux[y2])
+                vy = 0.0
+                Tl, Yo, Yc = p.T_inlet, p.Y_O2_inlet, p.Y_CO2_inlet
+            else:
+                ok = bulk[y1, iX] and bulk[y2, iX]
+                vx = 0.5 * (ux[y1, iX] + ux[y2, iX]) if ok else 0.0
+                vy = 0.5 * (uy[y1, iX] + uy[y2, iX]) if ok else 0.0
+                Yo = 0.5 * (Y1[y1, iX] + Y1[y2, iX]) if ok else 0.0
+                Yc = 0.5 * (Y2[y1, iX] + Y2[y2, iX]) if ok else 0.0
+                Tl = 0.5 * (T[y1, iX] + T[y2, iX])
+            pos = (iX - 0.5) / width * 2.0 - 1.0
+            fh.write(f"{pos:20.8g}{vx:20.8g}{vy:20.8g}"
+                     f"{Tl:20.8g}{Yo:20.8g}{Yc:20.8g}\n")
 
 
 def conservation_audit(outdir, state, tab, p: CombustionParams):
-    """Per-row inlet/outlet mass and momentum fluxes + totals (reference
-    Conservation_check_output, :3179-3330)."""
+    """Per-row inlet/outlet mass and momentum fluxes, species fluxes at
+    both stations, and the flux-balance totals — the reference's nine
+    audit files (Conservation_check_output, :3179-3330)."""
     from pathlib import Path
 
+    out = Path(outdir)
     rho, u = macro_flow(state.f)
     r = np.asarray(rho)
     ux = np.asarray(u[0])
-    bulk = tab["is_bulk"]
-    rows = np.arange(p.ny)
-    for col, name in ((1, "inlet"), (p.nx - 1, "outlet")):
-        mflux = r[:, col] * ux[:, col] * bulk[:, col]
-        pflux = r[:, col] * ux[:, col] ** 2 * bulk[:, col]
-        np.savetxt(Path(outdir) / f"massflow_{name}.dat",
-                   np.column_stack([rows, mflux]), fmt="%.10g")
-        np.savetxt(Path(outdir) / f"momentumflow_{name}.dat",
-                   np.column_stack([rows, pflux]), fmt="%.10g")
+    uy = np.asarray(u[1])
+    YO2 = np.asarray(macro_scalar(state.gO2))
+    YCO2 = np.asarray(macro_scalar(state.gCO2))
+    ny, nx = p.ny, p.nx
+    x1, x2 = 1, nx - 1
+    rows = np.arange(1, ny - 1)
+    width = float(ny - 2)
+    pos = (rows - 0.5) / width * 2.0 - 1.0
+
+    def rowfile(name, legend_cols, cols):
+        with open(out / f"{name}_names.dat", "w") as fh:
+            fh.write("".join(f"{c:>40s}" for c in legend_cols) + "\n")
+        np.savetxt(out / f"{name}.dat", np.column_stack(cols), fmt="%20.8g")
+
+    for col, station in ((x1, "inlet"), (x2, "outlet")):
+        rowfile(f"{station}_massflow",
+                ["Lattice-Number-in-Y-direction", "Position",
+                 f"Mass-flow-x-direction-{station}-[mlu/tlu]",
+                 f"Mass-flow-y-direction-{station}-[mlu/tlu]"],
+                [rows, pos, (r * ux)[1:-1, col], (r * uy)[1:-1, col]])
+        rowfile(f"{station}_momentumflow",
+                ["Lattice-Number-in-Y-direction", "Position",
+                 f"momentum-flow-x-direction-{station}-[mlu/tlu]",
+                 f"momentum-flow-y-direction-{station}-[mlu/tlu]"],
+                [rows, pos, (r * ux * ux)[1:-1, col],
+                 (r * uy * uy)[1:-1, col]])
+    # species mass flow at both stations in one file (reference
+    # massflow_Komp_inlet_outlet.dat)
+    with open(out / "massflow_Komp_inlet_outlet_names.dat", "w") as fh:
+        fh.write("iY pos O2_inlet O2_outlet CO2_inlet CO2_outlet\n")
+    np.savetxt(out / "massflow_Komp_inlet_outlet.dat", np.column_stack(
+        [rows, pos,
+         (r * ux * YO2)[1:-1, x1], (r * ux * YO2)[1:-1, x2],
+         (r * ux * YCO2)[1:-1, x1], (r * ux * YCO2)[1:-1, x2]]),
+        fmt="%20.8g")
     fin, fout = mass_flux_audit(state, tab, p)
-    with open(Path(outdir) / "conservation_totals.dat", "w") as fh:
+    with open(out / "conservation_totals.dat", "w") as fh:
         fh.write(f"{float(fin):.12g} {float(fout):.12g}\n")

@@ -537,9 +537,11 @@ def reseed_fresh_nodes(g, P, F_old, F_new, fluid_new, p: PulsatileParams):
     The reference processes fresh cells *sequentially* in x-then-y order and
     its ring-search fallback reads neighbours filled earlier in the same
     sweep, so the result is order-dependent.  We reproduce that exactly with
-    a bounded ``fori_loop`` over the fresh-cell list (up to ``RESEED_K``
-    cells — far above the observed per-step count); any overflow cells get
-    the order-independent fill."""
+    a ``fori_loop`` over the fresh-cell list whose trip count is the
+    *actual* on-device fresh-cell count (clamped to ``RESEED_K``, far above
+    the observed per-step count of 0–2); any overflow cells get the
+    order-independent fill, computed under a ``lax.cond`` so the common
+    no-overflow step never pays for it."""
     ny, nx = p.ny, p.nx
     dt = g.dtype
     Fo = F_old[1:-1, 1:-1]
@@ -549,6 +551,7 @@ def reseed_fresh_nodes(g, P, F_old, F_new, fluid_new, p: PulsatileParams):
     # x-major ordering of fresh cells (reference loop :389)
     fresh_T = jnp.transpose(fresh).reshape(-1)          # index = x*ny + y
     idxs = jnp.nonzero(fresh_T, size=RESEED_K, fill_value=-1)[0]
+    n_fresh = jnp.sum(fresh_T.astype(jnp.int32))
 
     Ffrac = jnp.maximum(jnp.trunc(Fo), 0.0).astype(dt)  # int(Fold) weights
     pad2 = ((_PAD, _PAD), (_PAD, _PAD))
@@ -614,14 +617,21 @@ def reseed_fresh_nodes(g, P, F_old, F_new, fluid_new, p: PulsatileParams):
                                            (0, yy, xx))
         return jnp.where(idx >= 0, upd, gp)
 
-    gp = jax.lax.fori_loop(0, RESEED_K, fill_one, gp)
+    # trip count = actual fresh cells (idxs beyond n_fresh are -1 fills the
+    # old fixed-96 loop discarded anyway; skipping them is bit-exact)
+    gp = jax.lax.fori_loop(0, jnp.minimum(n_fresh, RESEED_K), fill_one, gp)
     g_seq = gp[:, _PAD:-_PAD, _PAD:-_PAD]
 
-    # overflow cells (beyond RESEED_K) → simultaneous fill
-    order = jnp.cumsum(fresh_T.astype(jnp.int32))
-    over = (fresh_T & (order > RESEED_K)).reshape(nx, ny).T
-    g_sim = _reseed_simultaneous(g, P, F_old, F_new, fluid_new, p)
-    return jnp.where(over[None], g_sim, g_seq)
+    # overflow cells (beyond RESEED_K) → simultaneous fill; guarded by a
+    # cond so the (never-observed) overflow branch costs nothing per step
+    def with_overflow(g_seq):
+        order = jnp.cumsum(fresh_T.astype(jnp.int32))
+        over = (fresh_T & (order > RESEED_K)).reshape(nx, ny).T
+        g_sim = _reseed_simultaneous(g, P, F_old, F_new, fluid_new, p)
+        return jnp.where(over[None], g_sim, g_seq)
+
+    return jax.lax.cond(n_fresh > RESEED_K, with_overflow,
+                        lambda gs: gs, g_seq)
 
 
 # ───────────────────────── full step ───────────────────────────────────────

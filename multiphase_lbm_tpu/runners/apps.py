@@ -392,37 +392,111 @@ def run_pulsatile(outdir, N=64, dtype=jnp.float64, max_steps=None):
 
 
 # ─── Combustion channel (reference runCavityTwoPop :4074-4496) ─────────────
+# physical time-step size and the Middleline dump times of the reference
+# (CooLBM_MRT_combustion.cpp:79, :4431-4441)
+CB_DELTA_T_PH = 1.0 / 48771706.22
+CB_MIDDLELINE_TIMES = (0.002, 0.006)
+
+
+def _combustion_vtk(drv, st, p, flags, it):
+    """VTK dump with the reference's exact field list incl. velocity_Z
+    (saveVtkFields, CooLBM_MRT_combustion.cpp:3560-3711; 2D run → z=0)."""
+    rho, u = cb.macro_flow(st.f)
+    drv.write_vtk(it, p.nx, p.ny,
+                  scalars=[("Density", np.asarray(rho)),
+                           ("Temperature", np.asarray(cb.macro_scalar(st.gT))),
+                           ("mass_fraction_O2", np.asarray(cb.macro_scalar(st.gO2))),
+                           ("mass_fraction_CO2", np.asarray(cb.macro_scalar(st.gCO2))),
+                           ("velocity_X", np.asarray(u[0])),
+                           ("velocity_Y", np.asarray(u[1])),
+                           ("velocity_Z", np.zeros((p.ny, p.nx)))],
+                  int_scalars=[("Flag", flags.astype(int))])
+
+
 def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
                    flow_steps=20000, scalar_steps=5000, T_solid=None,
-                   conj_scheme="li2014"):
+                   conj_scheme="li2014", restart=None, save_flow=True,
+                   benchmark=False, bench_ini_iter=1000, bench_max_iter=2000,
+                   fused=False):
+    """Two-stage combustion driver (reference main :4074-4496).
+
+    ``restart`` warm-starts the flow from a reference-format ``ini_f.dat``
+    (Einleseoption_f, :4345 → :3129-3157), skipping the flow-convergence
+    stage exactly like the reference's two-stage workflow; ``save_flow``
+    writes the converged field back out (Ausgabeoption_f, :3158-3178).
+    ``benchmark`` reproduces the reference bench mode (:4376-4380): flow-only
+    stepping, clock reset after ``bench_ini_iter`` warmup iterations, MLUPS
+    over the remaining ``bench_max_iter − bench_ini_iter``."""
+    from ..io import checkpoint as ckpt
+
     p = cb.CombustionParams(nx=nx, ny=ny, conj_scheme=conj_scheme)
     flags, _ = cb.build_geometry(p)
     tab = cb.build_static_tables(flags, p)
-    st = cb.initialize(p, dtype=dtype, T_solid=T_solid, flags=flags)
+
+    if benchmark:
+        import time
+        st = cb.initialize(p, dtype=dtype, T_solid=T_solid, flags=flags)
+        runner = (cb.run_fused if fused else cb.run)
+        st = runner(st, p, bench_ini_iter, konv=False)
+        np.asarray(st.f[0, 0, :8])                # sync after warmup
+        n = bench_max_iter - bench_ini_iter
+        t0 = time.time()
+        st = runner(st, p, n, konv=False)
+        np.asarray(st.f[0, 0, :8])
+        dt_s = time.time() - t0
+        print(f"MLUPS: {nx * ny * n / dt_s / 1e6:.1f}")
+        return st
+
+    f0 = None
+    if restart is not None:
+        f0 = ckpt.load_flow_field_txt(restart)
+        if f0.shape != (9, ny, nx):
+            raise ValueError(
+                f"restart field {f0.shape[1:]} does not match the requested "
+                f"lattice ({ny}, {nx}); pass matching --ny/--nx")
+    st = cb.initialize(p, dtype=dtype, T_solid=T_solid, flags=flags,
+                       f_restart=f0)
     drv = Driver(outdir, nx * ny, out_freq=1000, vtk_freq=0)
 
     def log(done, e, dev):
         drv.log_file("energy.dat").log(done, e, dev)
 
-    st, done = cb.run_staged(st, p, max_flow_steps=flow_steps,
-                             check_every=500, scalar_steps=scalar_steps,
-                             log=log)
-    drv.clock.tick(done + scalar_steps)
+    if restart is not None:
+        # reference semantics: a restarted run trusts the converged field
+        # and goes straight to the reactive stage (:4345, :536-542)
+        done = 0
+    else:
+        st, done = cb.run_staged(st, p, max_flow_steps=flow_steps,
+                                 check_every=500, scalar_steps=0, log=log)
+        if save_flow:
+            ckpt.save_flow_field_txt(f"{outdir}/ini_f.dat", st.f)
+
+    # reactive stage, chunked so the Middleline dumps fire when the run
+    # crosses the reference's fixed physical times (:4431-4441)
+    it = done
+    if scalar_steps > 0:
+        st = cb.run(st, p, 1, konv=True, first_step=True)
+        it += 1
+        left = scalar_steps - 1
+        while left > 0:
+            chunk = min(left, 500)
+            t_prev = it * CB_DELTA_T_PH
+            st = cb.run(st, p, chunk, konv=True)
+            it += chunk
+            left -= chunk
+            t_now = it * CB_DELTA_T_PH
+            for t_mark in CB_MIDDLELINE_TIMES:
+                if t_prev < t_mark <= t_now:
+                    cb.middleline(outdir, st, tab, p, t_ph=t_mark)
+    it_total = it
+    cb.middleline(outdir, st, tab, p, t_ph=it_total * CB_DELTA_T_PH)
+
+    drv.clock.tick(it_total)
     drv.log_file("thermal-energy.dat").log(
-        done + scalar_steps, float(cb.thermal_energy(st, tab, p)))
+        it_total, float(cb.thermal_energy(st, tab, p)))
     cb.save_profiles(outdir, st, tab, p)
-    cb.middleline(outdir, st, tab, p)
     cb.conservation_audit(outdir, st, tab, p)
-    rho, u = cb.macro_flow(st.f)
-    T = cb.macro_scalar(st.gT)
-    drv.write_vtk(done + scalar_steps, nx, ny,
-                  scalars=[("Density", np.asarray(rho)),
-                           ("Temperature", np.asarray(T)),
-                           ("mass_fraction_O2", np.asarray(cb.macro_scalar(st.gO2))),
-                           ("mass_fraction_CO2", np.asarray(cb.macro_scalar(st.gCO2))),
-                           ("velocity_X", np.asarray(u[0])),
-                           ("velocity_Y", np.asarray(u[1]))],
-                  int_scalars=[("Flag", flags.astype(int))])
+    _combustion_vtk(drv, st, p, flags, it_total)
     fin, fout = cb.mass_flux_audit(st, tab, p)
     drv.log_file("conservation.dat").log(float(fin), float(fout))
     drv.finish()

@@ -61,6 +61,19 @@ def main(argv=None):
     ap.add_argument("--scheme", default="li2014",
                     choices=["li2014", "guo2015", "huber2015", "none"],
                     help="conjugate-heat scheme for the combustion problem")
+    ap.add_argument("--restart", default=None, metavar="INI_F",
+                    help="combustion: warm-start the flow from a "
+                         "reference-format ini_f.dat (skips the "
+                         "flow-convergence stage, reference :4345)")
+    ap.add_argument("--bench", action="store_true",
+                    help="combustion: benchmark mode (warmup + timed MLUPS "
+                         "window, reference :4376-4380)")
+    ap.add_argument("--scalar-steps", type=int, default=5000,
+                    help="combustion: reactive-stage step count")
+    ap.add_argument("--nx", type=int, default=420,
+                    help="combustion lattice size (reference N_X=420)")
+    ap.add_argument("--ny", type=int, default=80,
+                    help="combustion lattice size (reference N_Y=80)")
     args = ap.parse_args(argv)
 
     dtype = jnp.float32 if args.f32 else jnp.float64
@@ -70,9 +83,13 @@ def main(argv=None):
                            max_steps=args.steps)
         return 0
     if args.problem == "combustion":
-        apps.run_combustion(args.outdir, dtype=dtype,
+        apps.run_combustion(args.outdir, nx=args.nx, ny=args.ny, dtype=dtype,
                             flow_steps=args.steps or 20000,
-                            conj_scheme=args.scheme)
+                            scalar_steps=args.scalar_steps,
+                            conj_scheme=args.scheme,
+                            restart=args.restart,
+                            benchmark=args.bench,
+                            fused=args.fused)
         return 0
 
     fn, needs_cfg = PROBLEMS[args.problem]

@@ -140,13 +140,22 @@ def test_profile_outputs(small, tmp_path):
     st = cb.run(st, p, 200, konv=False)
     cb.save_profiles(tmp_path, st, tab, p)
     cb.save_slice(tmp_path, st, p)
-    cb.middleline(tmp_path, st, tab, p, tag="_t0")
+    cb.middleline(tmp_path, st, tab, p, t_ph=0.002)
     cb.conservation_audit(tmp_path, st, tab, p)
     import os
     for f in ("middlex.dat", "middley.dat", "vx.dat", "rho.dat",
-              "middleline_t0.dat", "massflow_inlet.dat",
+              "velocity_middleline_000.002.dat",
+              "inlet_massflow.dat", "inlet_massflow_names.dat",
+              "outlet_massflow.dat", "outlet_massflow_names.dat",
+              "inlet_momentumflow.dat", "outlet_momentumflow.dat",
+              "inlet_momentumflow_names.dat", "outlet_momentumflow_names.dat",
+              "massflow_Komp_inlet_outlet.dat",
               "conservation_totals.dat"):
         assert os.path.exists(tmp_path / f), f
+    # middleline schema: 6 columns, nx rows, x=0 row carries inlet values
+    ml = np.loadtxt(tmp_path / "velocity_middleline_000.002.dat")
+    assert ml.shape == (p.nx, 6)
+    assert ml[0, 3] == p.T_inlet and ml[0, 4] == p.Y_O2_inlet
 
 
 def test_cavity_topology():
@@ -295,3 +304,26 @@ def test_huber2015_reduces_to_none_without_obstacles(small):
     st_n = cb.run(cb.initialize(p2), p2, 40, konv=True, first_step=True)
     np.testing.assert_array_equal(np.asarray(st_h.gT), np.asarray(st_n.gT))
     np.testing.assert_array_equal(np.asarray(st_h.f), np.asarray(st_n.f))
+
+
+def test_cli_restart_workflow(tmp_path):
+    """Two-stage CLI round trip (reference :4345, :3129-3178): run the flow
+    stage once, write ini_f.dat, then a --restart run consumes it and skips
+    straight to the reactive stage."""
+    from multiphase_lbm_tpu.runners import apps
+
+    out1 = tmp_path / "stage1"
+    out1.mkdir()
+    apps.run_combustion(str(out1), nx=96, ny=48, flow_steps=600,
+                        scalar_steps=40)
+    assert (out1 / "ini_f.dat").exists()
+    out2 = tmp_path / "stage2"
+    out2.mkdir()
+    st = apps.run_combustion(str(out2), nx=96, ny=48, scalar_steps=40,
+                             restart=str(out1 / "ini_f.dat"))
+    assert np.isfinite(np.asarray(st.f)).all()
+    # the restarted run must have produced the audit + middleline + vtk set
+    assert (out2 / "inlet_massflow.dat").exists()
+    assert list(out2.glob("velocity_middleline_*.dat"))
+    vtk = list(out2.glob("sol_*.vtk"))
+    assert vtk and "velocity_Z" in vtk[0].read_text()
