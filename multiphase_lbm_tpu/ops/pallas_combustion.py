@@ -1,0 +1,559 @@
+"""Fused Pallas TPU kernel for the reactive MRT combustion step.
+
+TPU-native fusion of the reference's per-cell combustion functor
+(``CooLBM_MRT_combustion.cpp:3018-3126``) in its default configuration
+(inflow/outflow channel, LI2014 conjugate heat, Arrhenius surface
+reaction): the entire 420×80 lattice — all four populations, the static
+link masks and the interface-normal factors — lives in VMEM, and one
+kernel launch advances ``nsub`` full steps under an in-kernel
+``fori_loop`` whose state lives in the (input-aliased) output refs.
+
+Performance model (measured on v5e): on a 33.6k-cell lattice every
+non-fusable op (roll, select, reduction, ref slice) costs ~2-13 µs
+REGARDLESS of array size, so throughput is op-COUNT-bound, not
+FLOP-bound.  The kernel is therefore written fully Q-VECTORIZED: every
+per-direction quantity is one op over a stacked ``(9, ny, nx)`` array
+(velocity-set constants enter as ``(9,1,1)`` broadcasts, moment
+projections as one ``tensordot``), populations share streaming rolls via
+``(4, ny, nx)`` stacks, and loop state stays in VMEM refs (a fori_loop
+carry of arrays is copied through the scoped-VMEM stack every iteration
+— ~1.2 ms/substep measured — while ref reads/writes are plain accesses).
+
+The kernel transliterates the XLA step phase-for-phase (same op order,
+same select semantics), so it is pinned to the XLA oracle by an
+interpreter-mode equivalence test (``tests/test_pallas_combustion.py``).
+
+Supported = the reference main's default path: ``topology='inflow_outflow'``,
+``conj_scheme='li2014'`` (or ``'none'``), no body force, no
+temperature-coupling corrector, no free-slip walls.  Anything else raises
+``NotImplementedError`` — use :func:`..models.combustion.run`.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import combustion as cbm
+from ..models.combustion import (C, M_INV, M_MAT, OPP, Q, W,
+                                 CombustionParams, CombustionState)
+
+
+def _roll2(arr, dy, dx):
+    """Value at (..., y+dy, x+dx) on the trailing two axes (wrapping;
+    callers mask edges).  Works on stacked (B, ny, nx) arrays so several
+    fields share one roll (rolls have a large fixed cost)."""
+    nd = arr.ndim
+    out = arr
+    if dy:
+        out = pltpu.roll(out, (-dy) % arr.shape[nd - 2], nd - 2)
+    if dx:
+        out = pltpu.roll(out, (-dx) % arr.shape[nd - 1], nd - 1)
+    return out
+
+
+def _check_supported(p: CombustionParams):
+    if (p.topology != "inflow_outflow" or p.scheme not in ("li2014", "none")
+            or p.dpdx or p.dpdy or p.temperature_coupling or p.y_freeslip):
+        raise NotImplementedError(
+            "fused combustion kernel supports the reference default path "
+            "(inflow_outflow topology, li2014/none conjugate scheme, no "
+            f"body force, no TC corrector, no free-slip); got "
+            f"topology={p.topology!r} scheme={p.scheme!r} dpdx={p.dpdx} "
+            f"dpdy={p.dpdy} TC={p.temperature_coupling} "
+            f"freeslip={p.y_freeslip} — use models.combustion.run")
+
+
+def _mrt_terms(Svec):
+    """Host-side factorization of A−I = Σ_j (S_j−1)·M⁻¹[:,j] M[j,:]."""
+    s = np.asarray(Svec, dtype=np.float64)
+    if np.all(s == s[0]):
+        return ("bgk", float(s[0]))
+    idx = [j for j in range(Q) if s[j] != 1.0]
+    MJ = M_MAT[idx, :].astype(np.float32)                       # (r, 9)
+    MI = (M_INV[:, idx] * (s[idx] - 1.0)).astype(np.float32)    # (9, r)
+    return ("rank", (MJ, MI))
+
+
+def build_mask_inputs(p: CombustionParams, flags=None, f_solid=None):
+    """Precompute the static per-direction masks the kernel needs, packed
+    as two stacked f32 arrays: ``masks9`` (8, 9, ny, nx) and ``masks2``
+    (6, ny, nx).  Layout in `_M9`/`_M2`."""
+    if flags is None:
+        flags, f_solid = cbm.build_geometry(p)
+    tab = cbm.build_static_tables(flags, p)
+    ny, nx = flags.shape
+
+    def shift(a, cx, cy):
+        return cbm._shift(a, cx, cy)
+
+    nb_obst = tab["nb_obst"].astype(np.float32)
+    nb_wall = tab["nb_wall"].astype(np.float32)
+    ck_n = tab["ck_n"].astype(np.float32)
+    is_bulk = tab["is_bulk"]
+    is_obst = tab["is_obst"]
+
+    # stream_flow's momentum-exchange term, pre-shifted per OUT direction k:
+    # fs_at[k] = f_solid[opp k] evaluated at the neighbour j + c_{opp k}
+    fs_at = np.zeros((Q, ny, nx), dtype=np.float32)
+    iface = np.zeros((Q, ny, nx), dtype=np.float32)
+    sender_iface = np.zeros((Q, ny, nx), dtype=np.float32)
+    link_solid = np.zeros((Q, ny, nx), dtype=np.float32)
+    gas_link = np.zeros((Q, ny, nx), dtype=np.float32)
+    for k in range(1, Q):
+        ko = int(OPP[k])
+        cx, cy = int(C[k, 0]), int(C[k, 1])
+        fs_at[k] = shift(np.asarray(f_solid[ko]),
+                         int(C[ko, 0]), int(C[ko, 1])).astype(np.float32)
+        up_is_obst = np.roll(is_obst, (cy, cx), axis=(0, 1))
+        up_is_bulk = np.roll(is_bulk, (cy, cx), axis=(0, 1))
+        iface[k] = ((up_is_obst & is_bulk) | (up_is_bulk & is_obst))
+        sender_iface[k] = ((is_bulk & tab["nb_obst"][k])
+                           | (is_obst & tab["nb_bulk"][k]))
+        link_solid[k] = is_obst & tab["nb_bulk"][k]
+        gas_link[k] = is_bulk & np.roll(is_obst, (cy, cx), axis=(0, 1))
+
+    masks9 = np.stack([nb_obst, nb_wall, ck_n, fs_at, iface, sender_iface,
+                       link_solid, gas_link]).astype(np.float32)
+
+    solid = ~is_bulk
+    s_n = shift(solid, 0, 1)     # north neighbour is solid
+    s_s = shift(solid, 0, -1)
+    s_e = shift(solid, 1, 0)
+    s_w = shift(solid, -1, 0)
+    masks2 = np.stack([is_bulk, is_obst, s_n, s_s, s_e, s_w]
+                      ).astype(np.float32)
+    return jnp.asarray(masks9), jnp.asarray(masks2)
+
+
+_M9 = dict(nb_obst=0, nb_wall=1, ck_n=2, fs_at=3, iface=4, sender_iface=5,
+           link_solid=6, gas_link=7)
+_M2 = dict(is_bulk=0, is_obst=1, s_n=2, s_s=3, s_e=4, s_w=5)
+
+
+def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
+                 nsub: int):
+    S, SO2, SCO2, ST, STs = p.S_vectors()
+    t_flow = _mrt_terms(S)
+    t_O2 = _mrt_terms(SO2)
+    t_CO2 = _mrt_terms(SCO2)
+    t_T = _mrt_terms(ST)
+    t_Ts = _mrt_terms(STs)
+    Wf = [float(w) for w in W]
+    Ci = [(int(C[k, 0]), int(C[k, 1])) for k in range(Q)]
+
+    # (Q,1,1) broadcast constants, built in-kernel from an iota (Pallas
+    # rejects captured ndarray constants); called once per kernel trace.
+    def const9(vals):
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, 1, 1), 0)
+        out = jnp.zeros((Q, 1, 1), jnp.float32)
+        for i, v in enumerate(vals):
+            if float(v) != 0.0:
+                out = jnp.where(k_idx == i, jnp.float32(v), out)
+        return out
+    sig = p.sigma
+    cj_a = (1.0 - sig) / (1.0 + sig)
+    cj_b = 2.0 / (1.0 + sig)
+    cj_c = 2.0 * sig / (1.0 + sig)
+    li2014 = p.scheme == "li2014"
+
+    class K:
+        """Per-trace constants (lazily built inside the kernel)."""
+        W3 = None
+        CX3 = None
+        CY3 = None
+        mrt = None
+
+    def init_consts():
+        K.W3 = const9(W)
+        K.CX3 = const9(C[:, 0])
+        K.CY3 = const9(C[:, 1])
+        K.mrt = {}
+        for name, terms in (("flow", t_flow), ("O2", t_O2), ("CO2", t_CO2),
+                            ("T", t_T), ("Ts", t_Ts)):
+            kind, data = terms
+            if kind == "rank":
+                MJ, MI = data
+                K.mrt[name] = (kind, ([const9(MJ[r]) for r in
+                                       range(MJ.shape[0])],
+                                      [const9(MI[:, r]) for r in
+                                       range(MI.shape[1])]))
+            else:
+                K.mrt[name] = terms
+
+    def cu_of(ux, uy):
+        return K.CX3 * ux[None] + K.CY3 * uy[None]      # (9, ny, nx)
+
+    def equilibrium(amp, cu, usqr):
+        return K.W3 * amp[None] * (1.0 + 3.0 * cu + 4.5 * cu * cu
+                                   - usqr[None])
+
+    def collide(pop, eq, name):
+        kind, data = K.mrt[name]
+        if kind == "bgk":
+            return pop - data * (pop - eq)
+        rows, cols = data
+        dneq = pop - eq
+        out = eq
+        for rw, cl in zip(rows, cols):
+            m = jnp.sum(rw * dneq, axis=0)              # moment (ny, nx)
+            out = out - cl * m[None]
+        return out
+
+    def macro_uv(f):
+        rho = jnp.sum(f, axis=0)
+        momx = jnp.sum(K.CX3 * f, axis=0)
+        momy = jnp.sum(K.CY3 * f, axis=0)
+        return rho, momx / rho, momy / rho
+
+    def row_mask(i):
+        r = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+        return r == i
+
+    def col_mask(i):
+        c = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+        return c == i
+
+    def apply_flow_outlet(f):
+        """Transliteration of models.combustion.apply_flow_outlet
+        (reference Boundaries, :1990-2091) as full-field masked updates;
+        ρ/ux/uy rolled as one stacked array."""
+        rho_f, ux_f, uy_f = macro_uv(f)
+        st3 = jnp.stack([rho_f, ux_f, uy_f])
+        m1 = _roll2(st3, 0, -1)      # values of column x−1 placed at x
+        m2r = _roll2(st3, 0, -2)
+        ex3 = (4.0 * m1 - m2r) / 3.0
+        rho, ux, uy = ex3[0], ex3[1], ex3[2]
+        usqr = ux * ux + uy * uy          # reference quirk: un-scaled u²
+        cu = cu_of(ux, uy)
+        feq = equilibrium(rho, cu, usqr)
+        f3 = feq[3] + 2.0 / 3.0 * rho * ux + 2.0 / 3.0 * (
+            feq[3] - f[1] + feq[7] - f[5] + feq[6] - f[8])
+        t367 = Wf[3] + Wf[7] + Wf[6]
+        t76 = Wf[7] + Wf[6]
+        e1 = (rho * ux - f[1] - f[5] - f[8] + feq[6] + feq[3] + feq[7]) / t367
+        e2 = (rho * uy - f[2] - f[5] + f[8] + f[4] - feq[6] + feq[7]) / t76
+        f6 = feq[6] - Wf[6] * (e1 - e2)
+        f7 = feq[7] - Wf[7] * (e1 + e2)
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+        interior = (rr > 1) & (rr < ny - 2)
+        m_out = col_mask(nx - 1)
+        mi = m_out & interior
+        f = [f[k] for k in range(Q)]          # per-k writes: list form
+        f[3] = jnp.where(mi, f3, f[3])
+        f[6] = jnp.where(mi, f6, f[6])
+        f[7] = jnp.where(mi, f7, f[7])
+
+        # corners (reference :2052-2091); reads use the post-interior f
+        for yc, sgn in ((1, -1.0), (ny - 2, 1.0)):
+            mc = m_out & row_mask(yc)
+            if sgn < 0:
+                f8 = (rho + rho * ux - (2.0 / 3.0) * rho * uy - f[0]
+                      - 2.0 * (f[1] + f[4] + f[8])) / 2.0
+            else:
+                f8 = (rho + rho * ux + (2.0 / 3.0) * rho * uy - f[0]
+                      - 2.0 * (f[1] + f[2] + f[5])) / 2.0
+            f6c = f8 - rho * ux / 6.0 + rho * uy / 6.0
+            f3c = f[1] - 2.0 / 3.0 * rho * ux
+            f7c = f[5] - rho * ux / 6.0 + rho * uy / 6.0
+            f24 = (f[4] + 2.0 / 3.0 * rho * uy if sgn < 0
+                   else f[2] - 2.0 / 3.0 * rho * uy)
+            f[8] = jnp.where(mc, f8, f[8])
+            f[6] = jnp.where(mc, f6c, f[6])
+            f[3] = jnp.where(mc, f3c, f[3])
+            f[7] = jnp.where(mc, f7c, f[7])
+            k24 = 2 if sgn < 0 else 4
+            f[k24] = jnp.where(mc, f24, f[k24])
+        return jnp.stack(f)
+
+    def apply_scalar_bcs_all(gs, amps_inlet):
+        """models.combustion.apply_scalar_bcs for all three scalar
+        populations at once (amp rolls batched over a stacked sum array);
+        identical op order per population — the amps each read exactly
+        the rows/columns the XLA oracle reads at that point."""
+        gs = list(gs)
+
+        gs = [[g[k] for k in range(Q)] for g in gs]
+
+        def triplet(g, amp_full, mask, pairs):
+            for k_in, k_w, k_out in pairs:
+                val = -g[k_out] + 2.0 * Wf[k_w] * amp_full
+                g[k_in] = jnp.where(mask, val, g[k_in])
+            return g
+
+        def sums():
+            return jnp.stack([sum(g[1:], g[0]) for g in gs])
+
+        s3 = sums()
+        amp_top = (4.0 * _roll2(s3, -1, 0) - _roll2(s3, -2, 0)) / 3.0
+        m_top = row_mask(ny - 2)
+        for i in range(3):
+            gs[i] = triplet(gs[i], amp_top[i], m_top,
+                            [(7, 7, 5), (4, 2, 2), (8, 6, 6)])
+        s3 = sums()
+        amp_bot = (4.0 * _roll2(s3, 1, 0) - _roll2(s3, 2, 0)) / 3.0
+        m_bot = row_mask(1)
+        for i in range(3):
+            gs[i] = triplet(gs[i], amp_bot[i], m_bot,
+                            [(6, 8, 8), (2, 4, 4), (5, 7, 7)])
+        m_in = col_mask(1)
+        for i in range(3):
+            gs[i] = triplet(gs[i], amps_inlet[i], m_in,
+                            [(5, 7, 7), (1, 3, 3), (8, 6, 6)])
+        s3 = sums()
+        amp_out = (4.0 * _roll2(s3, 0, -1) - _roll2(s3, 0, -2)) / 3.0
+        m_out = col_mask(nx - 1)
+        for i in range(3):
+            gs[i] = triplet(gs[i], amp_out[i], m_out,
+                            [(6, 8, 8), (3, 1, 1), (7, 5, 5)])
+        return [jnp.stack(g) for g in gs]
+
+    def grad_onesided(qs, m2):
+        """_central_gradient with one-sided branches at solid neighbours,
+        batched over a list of fields (stacked rolls)."""
+        q = jnp.stack(qs)
+        E = _roll2(q, 0, 1)
+        Wq = _roll2(q, 0, -1)
+        Nq = _roll2(q, 1, 0)
+        Sq = _roll2(q, -1, 0)
+        gx = (E - Wq) / 2.0
+        gy = (Nq - Sq) / 2.0
+        NN = _roll2(q, 2, 0)
+        SS = _roll2(q, -2, 0)
+        EE = _roll2(q, 0, 2)
+        WW = _roll2(q, 0, -2)
+        s_s = (m2["s_s"] > 0.5)[None]
+        s_n = (m2["s_n"] > 0.5)[None]
+        s_e = (m2["s_e"] > 0.5)[None]
+        s_w = (m2["s_w"] > 0.5)[None]
+        gy = jnp.where(s_s, (-3.0 * q + 4.0 * Nq - NN) / 2.0, gy)
+        gy = jnp.where(s_n, (3.0 * q - 4.0 * Sq + SS) / 2.0, gy)
+        gx = jnp.where(s_w, (-3.0 * q + 4.0 * E - EE) / 2.0, gx)
+        gx = jnp.where(s_e, (3.0 * q - 4.0 * Wq + WW) / 2.0, gx)
+        return gx, gy
+
+    def step(carry, m9, m2):
+        f, gO2, gCO2, gT, FO2p, FCO2p, FTp, gcoll = carry
+        is_bulk_m = m2["is_bulk"] > 0.5
+
+        # ── phase 1: BC fixes on incoming populations ──
+        f = apply_flow_outlet(f)
+        if konv:
+            gO2, gCO2, gT = apply_scalar_bcs_all(
+                (gO2, gCO2, gT), (p.Y_O2_inlet, p.Y_CO2_inlet, p.T_inlet))
+            if li2014:
+                # each opposite pair (k, ko) shares its two rolled g_coll
+                # arrays (8 rolls, not 16)
+                gTl = [gT[k] for k in range(Q)]
+                for k in range(1, Q):
+                    ko = int(OPP[k])
+                    if ko < k:
+                        continue
+                    cx, cy = Ci[k]
+                    A = _roll2(gcoll[ko], cy, cx)    # gcoll[ko] at nb +c_k
+                    B = _roll2(gcoll[k], -cy, -cx)   # gcoll[k] at nb −c_k
+                    gTl[ko] = jnp.where(
+                        m9["link_solid"][k] > 0.5,
+                        -cj_a * gcoll[k] + cj_b * A, gTl[ko])
+                    gTl[k] = jnp.where(
+                        m9["gas_link"][k] > 0.5,
+                        cj_a * gcoll[ko] + cj_c * B, gTl[k])
+                    gTl[k] = jnp.where(
+                        m9["link_solid"][ko] > 0.5,
+                        -cj_a * gcoll[ko] + cj_b * B, gTl[k])
+                    gTl[ko] = jnp.where(
+                        m9["gas_link"][ko] > 0.5,
+                        cj_a * gcoll[k] + cj_c * A, gTl[ko])
+                gT = jnp.stack(gTl)
+
+        # ── phase 2: macro ──
+        rho, ux, uy = macro_uv(f)
+        usqr = 1.5 * (ux * ux + uy * uy)
+        YO2 = jnp.sum(gO2, axis=0)
+        YCO2 = jnp.sum(gCO2, axis=0)
+        T = jnp.sum(gT, axis=0)
+
+        # ── phase 3: collisions ──
+        cu = cu_of(ux, uy)
+        feq = equilibrium(rho, cu, usqr)
+        post_f = collide(f, feq, "flow")
+
+        if konv:
+            gxs, gys = grad_onesided([rho, ux, uy, YO2, YCO2], m2)
+            grho_x, grho_y = gxs[0], gys[0]
+            gux, guy = gxs[1], gys[2]
+            gY1x, gY1y = gxs[3], gys[3]
+            gY2x, gY2y = gxs[4], gys[4]
+            m_outcol = col_mask(nx - 1)
+            gY1x = jnp.where(m_outcol, 0.0, gY1x)
+            gY2x = jnp.where(m_outcol, 0.0, gY2x)
+            gux = jnp.where(m_outcol, 0.0, gux)
+            div_u = gux + guy
+            F_O2 = (p.D_O2 / rho) * (gY1x * grho_x + gY1y * grho_y) \
+                + YO2 * div_u
+            F_CO2 = (p.D_CO2 / rho) * (gY2x * grho_x + gY2y * grho_y) \
+                + YCO2 * div_u
+
+            fac_O2 = 3.0 * (p.tau_O2 - 0.5) / p.tau_O2
+            fac_CO2 = 3.0 * (p.tau_CO2 - 0.5) / p.tau_CO2
+            fac_T = 3.0 * (p.tau_T - 0.5) / p.tau_T
+            FO2_k = K.W3 * F_O2[None] * (1.0 + fac_O2 * cu)
+            FCO2_k = K.W3 * F_CO2[None] * (1.0 + fac_CO2 * cu)
+
+            geqO2 = equilibrium(YO2, cu, usqr)
+            geqCO2 = equilibrium(YCO2, cu, usqr)
+            post_O2 = (collide(gO2, geqO2, "O2") + FO2_k
+                       + 0.5 * (FO2_k - FO2p))
+            post_CO2 = (collide(gCO2, geqCO2, "CO2") + FCO2_k
+                        + 0.5 * (FCO2_k - FCO2p))
+
+            # reaction: interfacial mass fractions + gas-side heat release
+            kr = p.A_pre * jnp.exp(
+                -p.E_akt / (p.R_id * jnp.maximum(T, 1e-2)))
+            denom = p.D_O2 + 0.5 * m9["ck_n"] * p.stoich_O2 * kr[None]
+            YO2_int = p.D_O2 * YO2[None] / denom
+            YCO2_int = YCO2[None] - (0.5 * m9["ck_n"] * kr[None] * YO2_int
+                                     * p.M_CO2) / (p.D_CO2 * p.M_O2)
+            y_sum = jnp.sum(jnp.where(m9["nb_obst"][1:5] > 0.5,
+                                      YO2_int[1:5], 0.0), axis=0)
+            if li2014:
+                F_r = kr * y_sum * rho / p.M_O2
+                F_T = F_r * p.delta_hr / (rho * p.cp_gas)
+            else:
+                F_T = jnp.zeros_like(T)
+            FT_k = K.W3 * F_T[None] * (1.0 + fac_T * cu)
+            geqT = equilibrium(T, cu, usqr)
+            post_T = collide(gT, geqT, "T") + FT_k + 0.5 * (FT_k - FTp)
+            geqT_s = K.W3 * T[None]
+            post_T_solid = collide(gT, geqT_s, "Ts")
+        else:
+            post_O2, post_CO2 = gO2, gCO2
+            FO2_k, FCO2_k, FT_k = FO2p, FCO2p, FTp
+            post_T = gT
+            post_T_solid = gT
+
+        # ── phase 4: streaming ──
+        # One stacked roll per direction carries ALL populations.
+        if konv:
+            postT = jnp.where(is_bulk_m[None], post_T, post_T_solid)
+            pops = jnp.stack([post_f, post_O2, post_CO2, postT])
+        else:
+            pops = post_f[None]
+        newf = [post_f[0]]
+        if konv:
+            gcoll_new = jnp.where(m9["sender_iface"] > 0.5, postT, 0.0)
+            newO2 = [post_O2[0]]
+            newCO2 = [post_CO2[0]]
+            newT = [postT[0]]
+        for k in range(1, Q):
+            ko = int(OPP[k])
+            cx, cy = Ci[k]
+            pulled = _roll2(pops[:, k], -cy, -cx)
+            nb_solid = (m9["nb_obst"][ko] + m9["nb_wall"][ko]) > 0.5
+            newf.append(jnp.where(
+                nb_solid, post_f[ko] + m9["fs_at"][k], pulled[0]))
+            if konv:
+                nb_wall_m = m9["nb_wall"][ko] > 0.5
+                nb_obst_m = m9["nb_obst"][ko] > 0.5
+                vals = []
+                for idx, (post, Y_int) in enumerate(
+                        ((post_O2, YO2_int), (post_CO2, YCO2_int))):
+                    bb = post[ko]
+                    val = jnp.where(nb_wall_m, bb, pulled[1 + idx])
+                    if p.solid_reaction:
+                        abb = -post[ko] + 2.0 * Wf[ko] * Y_int[ko]
+                        val = jnp.where(nb_obst_m, abb, val)
+                    else:
+                        val = jnp.where(nb_obst_m, bb, val)
+                    vals.append(val)
+                newO2.append(vals[0])
+                newCO2.append(vals[1])
+                if li2014:
+                    newT.append(jnp.where(
+                        m9["iface"][k] > 0.5, gT[k], pulled[3]))
+                else:
+                    newT.append(pulled[3])
+        newf = jnp.where(is_bulk_m[None], jnp.stack(newf), 0.0)
+        if konv:
+            newO2 = jnp.where(is_bulk_m[None], jnp.stack(newO2), 0.0)
+            newCO2 = jnp.where(is_bulk_m[None], jnp.stack(newCO2), 0.0)
+            newT = jnp.stack(newT)
+        else:
+            newO2, newCO2, newT, gcoll_new = gO2, gCO2, gT, gcoll
+
+        return (newf, newO2, newCO2, newT, FO2_k, FCO2_k, FT_k, gcoll_new)
+
+    def kernel(f_r, gO2_r, gCO2_r, gT_r, FO2_r, FCO2_r, FT_r, gcoll_r,
+               m9_r, m2_r,
+               of_r, oO2_r, oCO2_r, oT_r, oFO2_r, oFCO2_r, oFT_r, ogc_r):
+        init_consts()
+        m9 = {name: m9_r[i] for name, i in _M9.items()}
+        m2 = {name: m2_r[i] for name, i in _M2.items()}
+
+        ins = (f_r, gO2_r, gCO2_r, gT_r, FO2_r, FCO2_r, FT_r, gcoll_r)
+        outs = (of_r, oO2_r, oCO2_r, oT_r, oFO2_r, oFCO2_r, oFT_r, ogc_r)
+        for i_r, o_r in zip(ins, outs):
+            o_r[...] = i_r[...]
+
+        # loop state lives in the output refs; the carry is a dummy scalar
+        def body(_, tok):
+            carry = tuple(o_r[...] for o_r in outs)
+            res = step(carry, m9, m2)
+            for o_r, val in zip(outs, res):
+                o_r[...] = val
+            return tok
+
+        jax.lax.fori_loop(0, nsub, body, 0)
+
+    return kernel
+
+
+def _make_call(p, ny, nx, konv, nsub, interpret):
+    kernel = _make_kernel(p, ny, nx, konv, nsub)
+    shape = jax.ShapeDtypeStruct((Q, ny, nx), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape,) * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 8,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("p", "n_steps", "konv", "first_step",
+                                   "nsub", "interpret"))
+def run_fused(state: CombustionState, p: CombustionParams, n_steps: int,
+              konv: bool = True, first_step: bool = False, nsub: int = 10,
+              interpret: bool = False):
+    """Advance ``n_steps`` with the fused kernel (``nsub`` steps per
+    launch).  Mirrors :func:`..models.combustion.run`: the ``first_step``
+    transition (conjugate store not yet populated) runs through the XLA
+    step, everything after through the kernel.  State is cast to f32."""
+    _check_supported(p)
+    ny, nx = p.ny, p.nx
+    if first_step and n_steps > 0:
+        state = cbm.run(state, p, 1, konv=konv, first_step=True)
+        n_steps -= 1
+    st32 = CombustionState(*(jnp.asarray(a, jnp.float32) for a in state))
+    m9, m2 = build_mask_inputs(p)
+    args = st32[:8]
+
+    if n_steps >= nsub:
+        call = _make_call(p, ny, nx, konv, nsub, interpret)
+
+        def body(carry, _):
+            return call(*carry, m9, m2), None
+        args, _ = jax.lax.scan(body, tuple(args), None,
+                               length=n_steps // nsub)
+    rem = n_steps % nsub
+    if rem:
+        call1 = _make_call(p, ny, nx, konv, rem, interpret)
+        args = call1(*tuple(args), m9, m2)
+    return CombustionState(*args, st32.q_heat)

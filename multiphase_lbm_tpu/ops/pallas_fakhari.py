@@ -1,15 +1,26 @@
-"""Fused Pallas kernels for the Fakhari conservative phase-field step.
+"""Fused Pallas kernel for the Fakhari conservative phase-field step.
 
-Two kernels per time step on the fully-periodic domain (the reference
-Young_Laplace2D geometry has no walls):
+ONE kernel per ``nsub`` time steps on the fully-periodic domain (the
+reference Young_Laplace2D geometry has no walls): field derivation
+(φ/ρ/∇φ/μ/n), BGK collision of both distributions, periodic streaming,
+post-stream field refresh and the stale-u velocity update — all in VMEM.
+Round 1 used two kernels per step (collide-stream + refresh), which paid
+two launches, two HBM reads of (h, g, u) and a duplicated field
+derivation per step; the merged kernel does each once, and ``nsub``
+temporal blocking amortises the remaining HBM round trip (one substep
+consumes 5 rows of halo validity: ∇/∇² reach 2 + streaming 1 + the
+post-stream refresh's reach 2).
 
-* ``collide-stream``: reads (h, g, u), derives φ/ρ/∇φ/μ/n in VMEM
-  (stencil reach 2) and writes the streamed h', g' (reach 3 total).
-* ``refresh``: reads (h', g', u), derives the post-stream fields and writes
-  the new velocity u' = Σ g'c + F/(2ρ) using the stale-u stress exactly like
-  the reference's update_fields (Young_Laplace2D.h:297-370).
+Op economics (measured on v5e): rolls and other non-fusable ops cost
+~2-13 µs regardless of size, so the kernel batches them — the D2Q9
+∇/∇² pair of a field costs 6 rolls (axis rolls shared through the
+Sx/Dx factorisation, the four diagonals through one stacked roll pair),
+streaming rolls carry (h, g) stacked, and the collision is Q-vectorized
+over ``(9, rows, nx)`` arrays.
 
-Same y-stripe + 8-row-halo decomposition as the other fused kernels.
+Reference semantics: ``Young_Laplace2D.h:217-290`` (collide_stream_at)
+and ``:297-370`` (update_fields); pinned to :mod:`..models.fakhari` by an
+interpreter-mode equivalence test.
 """
 from __future__ import annotations
 
@@ -23,14 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.lattice import D2Q9
 from ..models.fakhari import EPS_C, FakhariParams
 
-HALO = 8
+HALO = 8          # Mosaic sublane alignment; one substep consumes 5 rows
+REACH = 5
 
 
 def _pick_tile(ny: int, target: int = 0) -> int:
-    # measured v5e 1024x1024: tile 32-128 -> ~120 MLUPS, 256 -> ~807,
-    # 512 -> VMEM OOM; prefer ny/4 capped at 256
     if target == 0:
-        target = min(256, max(32, ny // 4))
+        target = min(128, max(32, ny // 8))
     best = 0
     for t in range(8, min(ny, target) + 1, 8):
         if ny % t == 0:
@@ -41,173 +51,196 @@ def _pick_tile(ny: int, target: int = 0) -> int:
 
 
 def _roll2(arr, cy, cx):
+    """Value at (..., y+cy, x+cx) on the trailing two axes."""
+    nd = arr.ndim
     out = arr
     if cy:
-        out = pltpu.roll(out, (-cy) % arr.shape[0], 0)
+        out = pltpu.roll(out, (-cy) % arr.shape[nd - 2], nd - 2)
     if cx:
-        out = pltpu.roll(out, (-cx) % arr.shape[1], 1)
+        out = pltpu.roll(out, (-cx) % arr.shape[nd - 1], nd - 1)
     return out
 
 
-def _loader(ny, nx, Ty, nprog):
-    Text = Ty + 2 * HALO
+def _loader(ny, nx, Ty, nprog, halo, halo_in=False):
+    Text = Ty + 2 * halo
 
-    def load(i, y0, cp, hbm, buf, slot, lead=True):
-        sl = (slice(None),) if lead else ()
+    def load(i, y0, cp, hbm, buf, slot):
+        sl = (slice(None),)
+        if halo_in:
+            # caller supplies (…, ny+2·halo, nx) arrays with filled halos:
+            # uniform in-bounds loads (multi-chip path)
+            cp(hbm.at[sl + (pl.ds(y0, Text), slice(None))],
+               buf.at[sl + (slice(None), slice(None))], slot)
+            return
         if nprog == 1:
-            cp(hbm.at[sl + (pl.ds(ny - HALO, HALO), slice(None))],
-               buf.at[sl + (pl.ds(0, HALO), slice(None))], slot)
+            cp(hbm.at[sl + (pl.ds(ny - halo, halo), slice(None))],
+               buf.at[sl + (pl.ds(0, halo), slice(None))], slot)
             cp(hbm.at[sl + (pl.ds(0, ny), slice(None))],
-               buf.at[sl + (pl.ds(HALO, ny), slice(None))], slot)
-            cp(hbm.at[sl + (pl.ds(0, HALO), slice(None))],
-               buf.at[sl + (pl.ds(HALO + ny, HALO), slice(None))], slot)
+               buf.at[sl + (pl.ds(halo, ny), slice(None))], slot)
+            cp(hbm.at[sl + (pl.ds(0, halo), slice(None))],
+               buf.at[sl + (pl.ds(halo + ny, halo), slice(None))], slot)
         else:
             @pl.when(i == 0)
             def _():
-                cp(hbm.at[sl + (pl.ds(ny - HALO, HALO), slice(None))],
-                   buf.at[sl + (pl.ds(0, HALO), slice(None))], slot)
-                cp(hbm.at[sl + (pl.ds(0, Ty + HALO), slice(None))],
-                   buf.at[sl + (pl.ds(HALO, Ty + HALO), slice(None))], slot)
+                cp(hbm.at[sl + (pl.ds(ny - halo, halo), slice(None))],
+                   buf.at[sl + (pl.ds(0, halo), slice(None))], slot)
+                cp(hbm.at[sl + (pl.ds(0, Ty + halo), slice(None))],
+                   buf.at[sl + (pl.ds(halo, Ty + halo), slice(None))], slot)
 
             @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
             def _():
-                cp(hbm.at[sl + (pl.ds(pl.multiple_of(y0 - HALO, 8), Text), slice(None))],
+                cp(hbm.at[sl + (pl.ds(pl.multiple_of(y0 - halo, 8), Text),
+                                slice(None))],
                    buf.at[sl + (slice(None), slice(None))], slot)
 
             @pl.when(i == nprog - 1)
             def _():
-                cp(hbm.at[sl + (pl.ds(pl.multiple_of(y0 - HALO, 8), Ty + HALO), slice(None))],
-                   buf.at[sl + (pl.ds(0, Ty + HALO), slice(None))], slot)
-                cp(hbm.at[sl + (pl.ds(0, HALO), slice(None))],
-                   buf.at[sl + (pl.ds(Ty + HALO, HALO), slice(None))], slot)
+                cp(hbm.at[sl + (pl.ds(pl.multiple_of(y0 - halo, 8),
+                                      Ty + halo), slice(None))],
+                   buf.at[sl + (pl.ds(0, Ty + halo), slice(None))], slot)
+                cp(hbm.at[sl + (pl.ds(0, halo), slice(None))],
+                   buf.at[sl + (pl.ds(Ty + halo, halo), slice(None))], slot)
 
     return load
 
 
-def _fields(hb, gb, ub, p: FakhariParams, c, w):
-    """Shared in-VMEM field derivation (reference derive_fields + force)."""
-    C = hb[0]
-    P = gb[0]
-    for k in range(1, 9):
-        C = C + hb[k]
-        P = P + gb[k]
-    rho = p.rhol + C * (p.rhoh - p.rhol)
-
-    def grad(q):
-        gx = jnp.zeros_like(q)
-        gy = jnp.zeros_like(q)
-        for k in range(9):
-            cx, cy = int(c[k][0]), int(c[k][1])
-            if cx == 0 and cy == 0:
-                continue
-            v = _roll2(q, cy, cx)
-            if cx:
-                gx = gx + float(w[k] * cx) * v
-            if cy:
-                gy = gy + float(w[k] * cy) * v
-        return 3.0 * gx, 3.0 * gy
-
-    def lap(q):
-        s = jnp.zeros_like(q)
-        for k in range(9):
-            cx, cy = int(c[k][0]), int(c[k][1])
-            if cx == 0 and cy == 0:
-                continue
-            s = s + float(w[k]) * (_roll2(q, cy, cx) - q)
-        return 6.0 * s
-
-    dCx, dCy = grad(C)
-    mu = 4.0 * p.beta * C * (C - 1.0) * (C - 0.5) - p.kappa * lap(C)
-    g2 = dCx * dCx + dCy * dCy + 1e-32
-    inv = jax.lax.rsqrt(g2)
-    ni, nj = dCx * inv, dCy * inv
-
-    ux, uy = ub[0], ub[1]
-    # non-equilibrium stress of g (exclude rest k=4)
-    sxx = jnp.zeros_like(C)
-    sxy = jnp.zeros_like(C)
-    syy = jnp.zeros_like(C)
-    usqr = 1.5 * (ux * ux + uy * uy)
-    geq = []
-    for k in range(9):
-        cx, cy = float(c[k][0]), float(c[k][1])
-        cu = cx * ux + cy * uy
-        gaw = float(w[k]) * (3.0 * cu + 4.5 * cu * cu - usqr)
-        geq.append(P * float(w[k]) + gaw)
-        if int(c[k][0]) == 0 and int(c[k][1]) == 0:
-            continue
-        dn = gb[k] - geq[k]
-        sxx = sxx + dn * cx * cx
-        sxy = sxy + dn * cx * cy
-        syy = syy + dn * cy * cy
-    fac = (0.5 - p.tau) / p.tau
-    dR = p.rhoh - p.rhol
-    FmX = fac * (sxx * dCx + sxy * dCy) * dR
-    FmY = fac * (sxy * dCx + syy * dCy) * dR
-    FpX = -P * p.drho3 * dCx
-    FpY = -P * p.drho3 * dCy
-    Fx = mu * dCx + FpX + FmX
-    Fy = mu * dCy + FpY + FmY
-    return C, P, rho, dCx, dCy, mu, ni, nj, Fx, Fy, geq, usqr
-
-
-def _make_cs_kernel(p: FakhariParams, ny, nx, Ty):
-    lat = D2Q9
-    w, c, opp = lat.w, lat.c, lat.opp
-    nprog = ny // Ty
-    load = _loader(ny, nx, Ty, nprog)
-
-    def kernel(h_hbm, g_hbm, u_hbm, outh_ref, outg_ref, hbuf, gbuf, ubuf, sem):
-        i = pl.program_id(0)
-        y0 = pl.multiple_of(i * Ty, 8)
-
-        def cp(src, dst, slot):
-            d = pltpu.make_async_copy(src, dst, sem.at[slot])
-            d.start()
-            d.wait()
-
-        load(i, y0, cp, h_hbm, hbuf, 0)
-        load(i, y0, cp, g_hbm, gbuf, 1)
-        load(i, y0, cp, u_hbm, ubuf, 2)
-
-        hb, gb, ub = hbuf[:, :, :], gbuf[:, :, :], ubuf[:, :, :]
-        C, P, rho, dCx, dCy, mu, ni, nj, Fx, Fy, geq, usqr = _fields(
-            hb, gb, ub, p, c, w)
-
-        shape = (1.0 - 4.0 * (C - 0.5) ** 2) / p.W
-        ux, uy = ub[0], ub[1]
-        post_h, post_g = [], []
-        for k in range(9):
-            cx, cy = float(c[k][0]), float(c[k][1])
-            cu = cx * ux + cy * uy
-            GaWa = float(w[k]) * (3.0 * cu + 4.5 * cu * cu - usqr)
-            Gamma = float(w[k]) + GaWa
-            proj = cx * ni + cy * nj
-            hlp_h = float(w[k]) * shape * proj
-            heq = C * Gamma - 0.5 * hlp_h
-            eF = cx * Fx + cy * Fy
-            hlp_g = 3.0 * float(w[k]) * eF / (rho + EPS_C)
-            geq_corr = geq[k] - 0.5 * hlp_g
-            post_h.append((1.0 - p.wc) * hb[k] + p.wc * heq + hlp_h)
-            post_g.append((1.0 - p.s8) * gb[k] + p.s8 * geq_corr + hlp_g)
-
-        for k in range(9):
-            cx, cy = int(c[k][0]), int(c[k][1])
-            nh = post_h[k] if (cx == 0 and cy == 0) else _roll2(post_h[k], -cy, -cx)
-            ng = post_g[k] if (cx == 0 and cy == 0) else _roll2(post_g[k], -cy, -cx)
-            outh_ref[k, :, :] = nh[HALO:HALO + Ty, :]
-            outg_ref[k, :, :] = ng[HALO:HALO + Ty, :]
-
-    return kernel
-
-
-def _make_refresh_kernel(p: FakhariParams, ny, nx, Ty):
+def _make_kernel(p: FakhariParams, ny, nx, Ty, nsub, halo, halo_in=False):
     lat = D2Q9
     w, c = lat.w, lat.c
+    Wf = [float(x) for x in w]
+    Ci = [(int(c[k][0]), int(c[k][1])) for k in range(9)]
     nprog = ny // Ty
-    load = _loader(ny, nx, Ty, nprog)
+    assert halo_in or nprog == 1 or Ty >= halo, (Ty, halo)
+    assert REACH * nsub <= halo, (nsub, halo)
+    load = _loader(ny, nx, Ty, nprog, halo, halo_in)
+    Q = 9
 
-    def kernel(h_hbm, g_hbm, u_hbm, outu_ref, hbuf, gbuf, ubuf, sem):
+    Cf = [(float(c[k][0]), float(c[k][1])) for k in range(Q)]
+
+    def grad_lap(q):
+        """D2Q9 isotropic ∇ and ∇² of one field in 6 rolls (axis rolls
+        shared via the Sx/Dx factorisation; diagonals via one stacked
+        roll pair)."""
+        rx_p = _roll2(q, 0, 1)
+        rx_m = _roll2(q, 0, -1)
+        ry_p = _roll2(q, 1, 0)
+        ry_m = _roll2(q, -1, 0)
+        Sx = rx_p + rx_m
+        Dx = rx_p - rx_m
+        Sy = ry_p + ry_m
+        Dy = ry_p - ry_m
+        SD = jnp.stack([Sx, Dx])
+        SDp = _roll2(SD, 1, 0)      # at y+1
+        SDm = _roll2(SD, -1, 0)     # at y−1
+        sum_diag = SDp[0] + SDm[0]
+        gx_diag = SDp[1] + SDm[1]
+        gy_diag = SDp[0] - SDm[0]
+        gx = 3.0 * (Dx / 9.0 + gx_diag / 36.0)
+        gy = 3.0 * (Dy / 9.0 + gy_diag / 36.0)
+        lap = 6.0 * ((Sx + Sy) / 9.0 + sum_diag / 36.0 - (5.0 / 9.0) * q)
+        return gx, gy, lap
+
+    def fields(hb, gb):
+        """φ, p*, ρ, ∇φ, μ, n from per-k population lists (per-k loops keep
+        the peak VMEM live-set small — Q-vectorized (9, rows, nx) chains at
+        these block sizes spill)."""
+        C = hb[0]
+        P = gb[0]
+        for k in range(1, Q):
+            C = C + hb[k]
+            P = P + gb[k]
+        rho = p.rhol + C * (p.rhoh - p.rhol)
+        dCx, dCy, lap = grad_lap(C)
+        mu = 4.0 * p.beta * C * (C - 1.0) * (C - 0.5) - p.kappa * lap
+        inv = jax.lax.rsqrt(dCx * dCx + dCy * dCy + 1e-32)
+        return C, P, rho, dCx, dCy, mu, dCx * inv, dCy * inv
+
+    def stress_force(gb, geq, P, rho, dCx, dCy, mu):
+        sxx = jnp.zeros_like(P)
+        sxy = jnp.zeros_like(P)
+        syy = jnp.zeros_like(P)
+        for k in range(Q):
+            cx, cy = Cf[k]
+            if cx == 0.0 and cy == 0.0:
+                continue
+            dn = gb[k] - geq[k]
+            sxx = sxx + dn * (cx * cx)
+            sxy = sxy + dn * (cx * cy)
+            syy = syy + dn * (cy * cy)
+        fac = (0.5 - p.tau) / p.tau
+        dR = p.rhoh - p.rhol
+        FmX = fac * (sxx * dCx + sxy * dCy) * dR
+        FmY = fac * (sxy * dCx + syy * dCy) * dR
+        Fx = mu * dCx - P * p.drho3 * dCx + FmX
+        Fy = mu * dCy - P * p.drho3 * dCy + FmY
+        return Fx, Fy
+
+    def geq_of(P, ux, uy, usqr):
+        geq = []
+        for k in range(Q):
+            cx, cy = Cf[k]
+            cu = cx * ux + cy * uy
+            geq.append(P * Wf[k]
+                       + Wf[k] * (3.0 * cu + 4.5 * cu * cu - usqr))
+        return geq
+
+    def step_block(hb, gb, ub):
+        """One full step on halo-extended block lists (shrink REACH rows)."""
+        C, P, rho, dCx, dCy, mu, ni, nj = fields(hb, gb)
+        ux, uy = ub[0], ub[1]
+        usqr = 1.5 * (ux * ux + uy * uy)
+        geq = geq_of(P, ux, uy, usqr)
+        Fx, Fy = stress_force(gb, geq, P, rho, dCx, dCy, mu)
+
+        shape = (1.0 - 4.0 * (C - 0.5) ** 2) / p.W
+        inv_rho = 3.0 / (rho + EPS_C)
+        post_h = []
+        post_g = []
+        for k in range(Q):
+            cx, cy = Cf[k]
+            cu = cx * ux + cy * uy
+            GaWa = Wf[k] * (3.0 * cu + 4.5 * cu * cu - usqr)
+            proj = cx * ni + cy * nj
+            hlp_h = Wf[k] * shape * proj
+            heq = C * (Wf[k] + GaWa) - 0.5 * hlp_h
+            post_h.append((1.0 - p.wc) * hb[k] + p.wc * heq + hlp_h)
+            eF = cx * Fx + cy * Fy
+            hlp_g = Wf[k] * eF * inv_rho
+            geq_corr = geq[k] - 0.5 * hlp_g
+            post_g.append((1.0 - p.s8) * gb[k] + p.s8 * geq_corr + hlp_g)
+
+        # periodic pull streaming, (h, g) stacked per direction (one
+        # fixed-cost roll carries both populations)
+        h2 = [None] * Q
+        g2 = [None] * Q
+        for k in range(Q):
+            cx, cy = Ci[k]
+            if cx == 0 and cy == 0:
+                h2[k] = post_h[k]
+                g2[k] = post_g[k]
+            else:
+                pk = _roll2(jnp.stack([post_h[k], post_g[k]]), -cy, -cx)
+                h2[k] = pk[0]
+                g2[k] = pk[1]
+
+        # post-stream refresh with the STALE u (reference :297-370)
+        C2, P2, rho2, dCx2, dCy2, mu2, _, _ = fields(h2, g2)
+        geq2 = geq_of(P2, ux, uy, usqr)
+        Fx2, Fy2 = stress_force(g2, geq2, P2, rho2, dCx2, dCy2, mu2)
+        momx = jnp.zeros_like(P2)
+        momy = jnp.zeros_like(P2)
+        for k in range(Q):
+            cx, cy = Cf[k]
+            if cx:
+                momx = momx + cx * g2[k]
+            if cy:
+                momy = momy + cy * g2[k]
+        ux2 = momx + 0.5 * Fx2 / (rho2 + EPS_C)
+        uy2 = momy + 0.5 * Fy2 / (rho2 + EPS_C)
+        return h2, g2, (ux2, uy2)
+
+    def kernel(h_hbm, g_hbm, u_hbm, outh_ref, outg_ref, outu_ref,
+               hbuf, gbuf, ubuf, sem):
         i = pl.program_id(0)
         y0 = pl.multiple_of(i * Ty, 8)
 
@@ -220,69 +253,90 @@ def _make_refresh_kernel(p: FakhariParams, ny, nx, Ty):
         load(i, y0, cp, g_hbm, gbuf, 1)
         load(i, y0, cp, u_hbm, ubuf, 2)
 
-        hb, gb, ub = hbuf[:, :, :], gbuf[:, :, :], ubuf[:, :, :]
-        C, P, rho, dCx, dCy, mu, ni, nj, Fx, Fy, geq, usqr = _fields(
-            hb, gb, ub, p, c, w)
-
-        momx = jnp.zeros_like(C)
-        momy = jnp.zeros_like(C)
-        for k in range(9):
-            cx, cy = float(c[k][0]), float(c[k][1])
-            if cx:
-                momx = momx + cx * gb[k]
-            if cy:
-                momy = momy + cy * gb[k]
-        ux2 = momx + 0.5 * Fx / (rho + EPS_C)
-        uy2 = momy + 0.5 * Fy / (rho + EPS_C)
-        outu_ref[0, :, :] = ux2[HALO:HALO + Ty, :]
-        outu_ref[1, :, :] = uy2[HALO:HALO + Ty, :]
+        hb = [hbuf[k] for k in range(Q)]
+        gb = [gbuf[k] for k in range(Q)]
+        ub = (ubuf[0], ubuf[1])
+        for _ in range(nsub):
+            hb, gb, ub = step_block(hb, gb, ub)
+        for k in range(Q):
+            outh_ref[k] = hb[k][halo:halo + Ty, :]
+            outg_ref[k] = gb[k][halo:halo + Ty, :]
+        outu_ref[0] = ub[0][halo:halo + Ty, :]
+        outu_ref[1] = ub[1][halo:halo + Ty, :]
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret"))
-def run_fused(h, g, u, p: FakhariParams, n_steps: int, tile: int = 0,
-              interpret: bool = False):
-    """Advance the Fakhari state (h, g, u) ``n_steps`` with fused kernels."""
-    _, ny, nx = h.shape
-    Ty = tile or _pick_tile(ny)
-    assert ny % Ty == 0
-    Text = Ty + 2 * HALO
-
-    common = dict(
+def _make_call(p, ny, nx, Ty, nsub, halo, interpret, dtype, halo_in=False):
+    Text = Ty + 2 * halo
+    kernel = _make_kernel(p, ny, nx, Ty, nsub, halo, halo_in)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((9, ny, nx), dtype),
+                   jax.ShapeDtypeStruct((9, ny, nx), dtype),
+                   jax.ShapeDtypeStruct((2, ny, nx), dtype)),
         grid=(ny // Ty,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((2, Ty, nx), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((9, Text, nx), jnp.float32),
+            pltpu.VMEM((9, Text, nx), jnp.float32),
+            pltpu.VMEM((2, Text, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
-    scratch = [
-        pltpu.VMEM((9, Text, nx), jnp.float32),
-        pltpu.VMEM((9, Text, nx), jnp.float32),
-        pltpu.VMEM((2, Text, nx), jnp.float32),
-        pltpu.SemaphoreType.DMA((3,)),
-    ]
-    cs_call = pl.pallas_call(
-        _make_cs_kernel(p, ny, nx, Ty),
-        out_shape=(jax.ShapeDtypeStruct(h.shape, h.dtype),
-                   jax.ShapeDtypeStruct(g.shape, g.dtype)),
-        out_specs=(pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((9, Ty, nx), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM)),
-        scratch_shapes=scratch, **common)
-    rf_call = pl.pallas_call(
-        _make_refresh_kernel(p, ny, nx, Ty),
-        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
-        out_specs=pl.BlockSpec((2, Ty, nx), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=scratch, **common)
+
+
+@partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret",
+                                   "nsub"))
+def run_fused(h, g, u, p: FakhariParams, n_steps: int, tile: int = 0,
+              interpret: bool = False, nsub: int = 3):
+    """Advance the Fakhari state (h, g, u) with the merged fused kernel;
+    ``nsub`` steps per launch (temporal blocking, halo = 8·ceil(5·nsub/8))."""
+    _, ny, nx = h.shape
+    Ty = tile or _pick_tile(ny)
+    assert ny % Ty == 0
+    halo = ((REACH * nsub + HALO - 1) // HALO) * HALO
+    if nprog_gt1 := (ny // Ty > 1):
+        while Ty < halo:            # stripe-load bound: tile ≥ halo
+            nsub = max(1, nsub - 1)
+            halo = ((REACH * nsub + HALO - 1) // HALO) * HALO
+            if nsub == 1 and Ty < halo:
+                raise ValueError(f"tile {Ty} < minimum halo {halo}")
+    del nprog_gt1
+    call = _make_call(p, ny, nx, Ty, nsub, halo, interpret, h.dtype)
 
     def body(carry, _):
-        hh, gg, uu = carry
-        h2, g2 = cs_call(hh, gg, uu)
-        u2 = rf_call(h2, g2, uu)
-        return (h2, g2, u2), None
+        return call(*carry), None
 
-    (h, g, u), _ = jax.lax.scan(body, (h, g, u), None, length=n_steps)
+    (h, g, u), _ = jax.lax.scan(body, (h, g, u), None,
+                                length=n_steps // nsub)
+    rem = n_steps % nsub
+    if rem:
+        halo1 = ((REACH * rem + HALO - 1) // HALO) * HALO
+        h, g, u = _make_call(p, ny, nx, Ty, rem, halo1, interpret,
+                             h.dtype)(h, g, u)
     return h, g, u
+
+
+def step_fused_halo(h_ext, g_ext, u_ext, p: FakhariParams, tile: int = 0,
+                    interpret: bool = False, nsub: int = 1,
+                    halo: int = HALO):
+    """``nsub`` fused Fakhari steps on halo-extended blocks
+    (``ny+2·halo`` rows with pre-filled halos) — the multi-chip building
+    block; ``halo`` (8-multiple) must cover ``REACH·nsub = 5·nsub`` rows."""
+    assert REACH * nsub <= halo, (nsub, halo)
+    _, ny_ext, nx = h_ext.shape
+    ny = ny_ext - 2 * halo
+    Ty = tile or _pick_tile(ny)
+    assert ny % Ty == 0, (ny, Ty)
+    return _make_call(p, ny, nx, Ty, nsub, halo, interpret, h_ext.dtype,
+                      halo_in=True)(h_ext, g_ext, u_ext)

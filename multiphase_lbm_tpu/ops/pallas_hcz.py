@@ -64,7 +64,9 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
     nprog = ny // Ty
     # middle-stripe loads span [y0-halo, y0+Ty+halo): in bounds only when
     # halo <= Ty (else stripes 1 and nprog-2 DMA out of bounds)
-    assert nprog == 1 or Ty >= halo, (Ty, halo)
+    # stripe-load bound (middle stripes DMA [y0-halo, y0+Ty+halo));
+    # halo_in loads are uniform in-bounds on the extended array
+    assert halo_in or nprog == 1 or Ty >= halo, (Ty, halo)
     dphi = p.phi_l - p.phi_g
     drho = p.rho_l - p.rho_g
     # temporal blocking: each sub-step consumes REACH halo rows of validity
@@ -306,16 +308,19 @@ def run_fused(f, g, fluid_f32, p: HCZParams, n_steps: int, tile: int = 0,
 
 
 def step_fused_halo(f_ext, g_ext, fluid_ext_f32, p: HCZParams, tile: int = 0,
-                    interpret: bool = False, nsub: int = 1):
-    """``nsub`` fused HCZ steps on halo-extended blocks (``ny+2*HALO`` rows
-    with filled halos) — the multi-chip building block (nsub ≤ HALO//REACH
-    steps per halo exchange)."""
+                    interpret: bool = False, nsub: int = 1,
+                    halo: int = HALO):
+    """``nsub`` fused HCZ steps on halo-extended blocks (``ny+2*halo`` rows
+    with filled halos) — the multi-chip building block.  ``halo`` must be a
+    multiple of 8 covering ``REACH·nsub`` rows (the exchange width is
+    parameterized so multi-chip runs match the single-chip kernel's
+    temporal blocking instead of being pinned at nsub ≤ 2)."""
     _, ny_ext, nx = f_ext.shape
-    ny = ny_ext - 2 * HALO
-    Ty = tile or _pick_tile(ny)
+    ny = ny_ext - 2 * halo
+    Ty = tile or _pick_tile(ny, minimum=halo)
     assert ny % Ty == 0, (ny, Ty)
-    Text = Ty + 2 * HALO
-    kernel = _make_kernel(p, ny, nx, Ty, halo_in=True, nsub=nsub)
+    Text = Ty + 2 * halo
+    kernel = _make_kernel(p, ny, nx, Ty, halo_in=True, nsub=nsub, halo=halo)
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((9, ny, nx), f_ext.dtype),

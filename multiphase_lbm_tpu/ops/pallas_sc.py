@@ -91,7 +91,9 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
     nprog = ny // Ty
     # middle-stripe loads span [y0-halo, y0+Ty+halo): in bounds only when
     # halo <= Ty (else stripes 1 and nprog-2 DMA out of bounds)
-    assert nprog == 1 or Ty >= halo, (Ty, halo)
+    # stripe-load bound (middle stripes DMA [y0-halo, y0+Ty+halo));
+    # halo_in loads are uniform in-bounds on the extended array
+    assert halo_in or nprog == 1 or Ty >= halo, (Ty, halo)
     T = p.T
     a, R = p.a, p.R
     # temporal blocking: each sub-step consumes 2 halo rows of validity
@@ -333,7 +335,7 @@ def run_fused(f, fluid_f32, p: SCParams, n_steps: int, tile: int = 0,
 
 def step_fused_halo(f_ext, fluid_ext_f32, p: SCParams, tile: int = 0,
                     interpret: bool = False, periodic: bool = False,
-                    nsub: int = 1):
+                    nsub: int = 1, halo: int = HALO):
     """``nsub`` fused steps on a halo-extended block: ``f_ext`` is
     ``(9, ny+2*HALO, nx)`` with the 8-row halos already filled (by a
     shard_map neighbor exchange or host padding).  Returns the ``(9, ny, nx)``
@@ -341,12 +343,12 @@ def step_fused_halo(f_ext, fluid_ext_f32, p: SCParams, tile: int = 0,
     advances several steps per halo exchange (the 8-row halo covers the
     2-rows-per-step reach of up to 4 steps)."""
     _, ny_ext, nx = f_ext.shape
-    ny = ny_ext - 2 * HALO
-    Ty = tile or _pick_tile(ny)
+    ny = ny_ext - 2 * halo
+    Ty = tile or _pick_tile(ny, minimum=halo)
     assert ny % Ty == 0, (ny, Ty)
-    Text = Ty + 2 * HALO
+    Text = Ty + 2 * halo
     kernel = _make_kernel(p, ny, nx, Ty, interpret, periodic, halo_in=True,
-                          nsub=nsub)
+                          nsub=nsub, halo=halo)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((9, ny, nx), f_ext.dtype),

@@ -128,28 +128,36 @@ def make_halo_step(step_fn: Callable, mesh: Mesh, width: int,
     return jax.jit(shard_fn)
 
 
+def _halo_width(reach: int, nsub: int) -> int:
+    """Exchange width: ``reach·nsub`` rows rounded up to the Mosaic 8-row
+    alignment — the multi-chip paths exchange exactly what the kernel's
+    temporal blocking consumes instead of being pinned at 8 rows."""
+    return ((reach * nsub + 7) // 8) * 8
+
+
 def make_fused_sc_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False,
                        nsub: int = 1):
-    """Multi-chip fused Shan-Chen step: y-sharded lattice, 8-row halo
-    exchange over ICI via ring ppermute, then the halo-mode Pallas kernel on
-    each shard (reads its halos from the pre-exchanged rows — no wrap logic).
+    """Multi-chip fused Shan-Chen step: y-sharded lattice, ring-ppermute
+    halo exchange over ICI, then the halo-mode Pallas kernel on each shard
+    (reads its halos from the pre-exchanged rows — no wrap logic).
 
     The mesh must have a single axis 'y'; the GLOBAL lattice is
     ``(9, ny, nx)`` sharded on axis 1.  Global y-periodicity rides the
     permute ring.  ``nsub > 1`` advances several LBM steps per halo
-    exchange (the 8-row exchange covers up to 4 steps of reach), amortising
-    the ICI collective; the returned function then advances ``nsub`` steps
-    per call.
+    exchange (the exchange width grows to ``⌈2·nsub/8⌉·8`` rows, matching
+    the single-chip kernel's temporal blocking); the returned function then
+    advances ``nsub`` steps per call.
     """
     from ..ops import pallas_sc
 
-    H = pallas_sc.HALO
+    H = max(pallas_sc.HALO, _halo_width(2, nsub))
 
     def local_step(f_loc, m_loc):
         f_ext = _exchange_axis(f_loc, H, 1, "y")
         m_ext = _exchange_axis(m_loc, H, 0, "y")
         return pallas_sc.step_fused_halo(f_ext, m_ext, p, tile=tile,
-                                         interpret=interpret, nsub=nsub)
+                                         interpret=interpret, nsub=nsub,
+                                         halo=H)
 
     shard_fn = jax.shard_map(
         local_step, mesh=mesh,
@@ -161,25 +169,52 @@ def make_fused_sc_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False,
 
 def make_fused_hcz_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False,
                         nsub: int = 1):
-    """Multi-chip fused HCZ step (y-sharded; 8-row ring halo exchange +
-    halo-mode Pallas kernel per shard).  Scales the RTI workloads beyond one
-    chip's HBM.  ``nsub > 1`` advances several steps per halo exchange
-    (reach 3/step → up to 2 with the 8-row exchange); the returned function
-    then advances ``nsub`` steps per call."""
+    """Multi-chip fused HCZ step (y-sharded; ring halo exchange + halo-mode
+    Pallas kernel per shard).  Scales the RTI workloads beyond one chip's
+    HBM.  ``nsub > 1`` advances several steps per halo exchange; the
+    exchange width is ``⌈3·nsub/8⌉·8`` rows, so e.g. nsub=5 (the single-chip
+    RTI-2048 production setting) exchanges 16 rows per 5 steps."""
     from ..ops import pallas_hcz
 
-    H = pallas_hcz.HALO
+    H = max(pallas_hcz.HALO, _halo_width(3, nsub))
 
     def local_step(f_loc, g_loc, m_loc):
         f_ext = _exchange_axis(f_loc, H, 1, "y")
         g_ext = _exchange_axis(g_loc, H, 1, "y")
         m_ext = _exchange_axis(m_loc, H, 0, "y")
         return pallas_hcz.step_fused_halo(f_ext, g_ext, m_ext, p, tile=tile,
-                                          interpret=interpret, nsub=nsub)
+                                          interpret=interpret, nsub=nsub,
+                                          halo=H)
 
     shard_fn = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(None, "y", None), P(None, "y", None), P("y", None)),
         out_specs=(P(None, "y", None), P(None, "y", None)),
+        check_vma=False)
+    return jax.jit(shard_fn)
+
+
+def make_fused_fakhari_step(mesh: Mesh, p, tile: int = 0,
+                            interpret: bool = False, nsub: int = 1):
+    """Multi-chip fused Fakhari step (y-sharded; ring halo exchange of
+    (h, g, u) + the merged halo-mode kernel per shard).  One substep
+    consumes 5 rows of halo validity, so the exchange width is
+    ``⌈5·nsub/8⌉·8`` rows per ``nsub`` steps."""
+    from ..ops import pallas_fakhari
+
+    H = max(pallas_fakhari.HALO, _halo_width(pallas_fakhari.REACH, nsub))
+
+    def local_step(h_loc, g_loc, u_loc):
+        h_ext = _exchange_axis(h_loc, H, 1, "y")
+        g_ext = _exchange_axis(g_loc, H, 1, "y")
+        u_ext = _exchange_axis(u_loc, H, 1, "y")
+        return pallas_fakhari.step_fused_halo(
+            h_ext, g_ext, u_ext, p, tile=tile, interpret=interpret,
+            nsub=nsub, halo=H)
+
+    shard_fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, "y", None), P(None, "y", None), P(None, "y", None)),
+        out_specs=(P(None, "y", None), P(None, "y", None), P(None, "y", None)),
         check_vma=False)
     return jax.jit(shard_fn)

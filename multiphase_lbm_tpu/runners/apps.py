@@ -217,6 +217,7 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None,
     drv = Driver(outdir, N * ny, out_freq=_int(cfg, "out_freq", 3200),
                  vtk_freq=_int(cfg, "vtk_freq", 3200))
     it = 0
+    prev_sb = None
     while it < steps:
         if drv.want_vtk(it):
             phi = np.asarray(hcz.order_parameter(state[0]))
@@ -232,6 +233,17 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None,
                 np.asarray(hcz.order_parameter(state[0])), p)
             drv.log_file("spike_bubble_position.dat").log(
                 it * dt, s * dx, b * dx)
+            # finite-difference interface velocities over the output
+            # cadence — the series the reference's validation notebook
+            # derives from the positions (rayleighTaylor2D.h:939 opens the
+            # file; Untitled.py cells 2-4 compute and smooth d(pos)/dt)
+            if prev_sb is not None:
+                t_prev, s_prev, b_prev = prev_sb
+                dti = it * dt - t_prev
+                drv.log_file("spike_bubble_velocity.dat").log(
+                    it * dt, (s * dx - s_prev) / dti,
+                    (b * dx - b_prev) / dti)
+            prev_sb = (it * dt, s * dx, b * dx)
         chunk = min(steps - it, max(1, min(drv.out_freq or steps,
                                            drv.vtk_freq or steps)))
         if fused:
@@ -436,7 +448,14 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
     if benchmark:
         import time
         st = cb.initialize(p, dtype=dtype, T_solid=T_solid, flags=flags)
-        runner = (cb.run_fused if fused else cb.run)
+        if fused:
+            # experimental: the fused kernel is op-latency-bound on v5e and
+            # currently SLOWER than the XLA path at 420×80 (see
+            # ops/pallas_combustion.py docstring)
+            from ..ops import pallas_combustion as pcmb
+            runner = pcmb.run_fused
+        else:
+            runner = cb.run
         st = runner(st, p, bench_ini_iter, konv=False)
         np.asarray(st.f[0, 0, :8])                # sync after warmup
         n = bench_max_iter - bench_ini_iter

@@ -1,10 +1,15 @@
 """RTI literature regression: run the HCZ Rayleigh-Taylor case and compare
 spike/bubble trajectories against the digitized published curves the
-reference validates with (SURVEY §4.3).
+reference validates with (SURVEY §4.3, notebook cells 0-4: both the 256²
+and the 2048² runs).
 
-Usage (TPU, ~1 min to t=2):
+Usage (TPU):
 
     python -m multiphase_lbm_tpu.validation.rti_regression [t_end] [N]
+
+N=256 (default) runs the XLA path (~1 min to t=2); N=2048 runs the fused
+Pallas path with 5-step temporal blocking (2048×8200 lattice, ~35 s of
+stepping per simulated time unit at ~2000 MLUPS).
 """
 from __future__ import annotations
 
@@ -17,26 +22,56 @@ from ..models import hcz
 from . import rti_reference as ref
 
 
-def run_regression(t_end=2.0, N=256, dtype=None, log_every=0.05):
+def run_regression(t_end=2.0, N=256, dtype=None, log_every=0.05,
+                   fused=None):
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
+    if fused is None:
+        fused = N >= 1024
     nu, omega, dx, dt = lb_parameters(0.04, N, 3000.0)
     p = hcz.HCZParams(omega=omega, gravity=-6.25e-6, kappa=0.01)
     ny = 4 * N + 2
+    if fused:
+        # fused kernel needs 8-multiple rows; pad rows are marked solid so
+        # the fluid domain is identical (runners/apps.py does the same)
+        ny = ny + (8 - ny % 8) % 8
     state = hcz.init_rayleigh_taylor(N, ny, p, dtype=dtype)
     fluid = hcz.geometry_channel(N, ny)
+    if ny != 4 * N + 2:
+        fluid = fluid.at[4 * N + 1:].set(False)
     state = hcz.apply_geometry(state, fluid)
+    m32 = fluid.astype(jnp.float32)
 
     chunk = max(1, int(round(log_every / dt)))
     times, spikes, bubbles = [], [], []
     it = 0
     steps_total = int(t_end / dt)
+    phi_mid = 0.5 * (p.phi_l + p.phi_g)
+    ny_fluid = 4 * N + 2
+
+    def heights(f):
+        # pull only the two probe columns (x=0 'bubble', x=nx/2 'spike') —
+        # the full φ field is 67 MB at N=2048 over the axon tunnel
+        cols = np.asarray(jnp.sum(f[:, :, :: max(1, N // 2)][:, :, :2],
+                                  axis=0))
+        out = []
+        for j in (1, 0):                      # spike = x=nx/2, bubble = x=0
+            col = cols[1:ny_fluid - 1, j]
+            below = np.nonzero(col <= phi_mid)[0]
+            out.append(int(below[-1]) + 1 if below.size else 0)
+        return out
+
     while it < steps_total:
-        state = hcz.run(state, fluid, p, chunk)
+        if fused:
+            from ..ops import pallas_hcz
+            f2, g2 = pallas_hcz.run_fused(state[0], state[1], m32, p, chunk,
+                                          nsub=5, halo=16, tile=40)
+            state = (f2, g2)
+        else:
+            state = hcz.run(state, fluid, p, chunk)
         it += chunk
-        phi = np.asarray(hcz.order_parameter(state[0]))
-        s, b = hcz.interface_heights(phi, p)
+        s, b = heights(state[0])
         times.append(it * dt)
         spikes.append(s * dx - 2.0)     # shift by the initial interface
         bubbles.append(b * dx - 2.0)
@@ -57,8 +92,14 @@ def main():
     t_end = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     times, spikes, bubbles = run_regression(t_end=t_end, N=N)
-    ds = compare(times, spikes, ref.x_spike_256, ref.y_spike_256)
-    db = compare(times, bubbles, ref.x_bubble_256, ref.y_bubble_256)
+    if N >= 1024:
+        rs_t, rs_y = ref.x_spike_2048, ref.y_spike_2048
+        rb_t, rb_y = ref.x_bubble_2048, ref.y_bubble_2048
+    else:
+        rs_t, rs_y = ref.x_spike_256, ref.y_spike_256
+        rb_t, rb_y = ref.x_bubble_256, ref.y_bubble_256
+    ds = compare(times, spikes, rs_t, rs_y)
+    db = compare(times, bubbles, rb_t, rb_y)
     print(f"t_end={t_end} N={N}")
     print(f"max |spike - literature|  = {ds:.4f} (domain heights)")
     print(f"max |bubble - literature| = {db:.4f}")

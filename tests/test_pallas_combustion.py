@@ -1,0 +1,66 @@
+"""Interpreter-mode equivalence of the fused combustion kernel vs the XLA
+path (the correctness oracle), plus the unsupported-config guard."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiphase_lbm_tpu.models import combustion as cb
+from multiphase_lbm_tpu.ops import pallas_combustion as pc
+
+
+@pytest.fixture(scope="module")
+def small():
+    p = cb.CombustionParams(nx=128, ny=48)
+    flags, f_solid = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    return p, flags, f_solid, tab
+
+
+def _prep(p, flags, steps_flow=150):
+    """A mildly-developed f32 state so the equivalence test exercises
+    non-trivial fields (incl. a warm obstacle driving the reaction)."""
+    st = cb.initialize(p, T_solid=1.8, flags=flags)
+    st = cb.run(st, p, steps_flow, konv=False)
+    st = cb.run(st, p, 1, konv=True, first_step=True)
+    st = cb.run(st, p, 30, konv=True)
+    return cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
+
+
+@pytest.mark.parametrize("konv", [False, True])
+def test_fused_matches_xla(small, konv):
+    p, flags, f_solid, tab = small
+    st32 = _prep(p, flags)
+    n = 5
+    ref = cb.run(st32, p, n, konv=konv)
+    out = pc.run_fused(st32, p, n, konv=konv, nsub=2, interpret=True)
+    bulk = tab["is_bulk"]
+    for name in ("f", "gO2", "gCO2", "gT"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        sel = np.broadcast_to(bulk | tab["is_obst"], a.shape)
+        np.testing.assert_allclose(b[sel], a[sel], rtol=2e-4, atol=5e-6,
+                                   err_msg=name)
+
+
+def test_fused_nsub_consistency(small):
+    """nsub only changes the launch batching, not the math."""
+    p, flags, f_solid, tab = small
+    st32 = _prep(p, flags, steps_flow=60)
+    a = pc.run_fused(st32, p, 4, konv=True, nsub=1, interpret=True)
+    b = pc.run_fused(st32, p, 4, konv=True, nsub=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(a.gT), np.asarray(b.gT),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_unsupported_configs_raise(small):
+    p, flags, f_solid, tab = small
+    st = cb.initialize(p, flags=flags)
+    st32 = cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
+    for bad in (dataclasses.replace(p, topology="cavity"),
+                dataclasses.replace(p, conj_scheme="guo2015"),
+                dataclasses.replace(p, dpdx=1e-6, topology="poiseuille"),
+                dataclasses.replace(p, temperature_coupling=True)):
+        with pytest.raises(NotImplementedError):
+            pc.run_fused(st32, bad, 1, interpret=True)

@@ -63,3 +63,50 @@ def test_halo_step_2d_mesh(setup, eight_devices):
     ref = sc.step(sc.step(f, fluid, p), fluid, p)
     out = halo_step(halo_step(f_sh, fluid_sh), fluid_sh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_fused_hcz_multichip_wide_exchange(eight_devices):
+    """nsub=5 multi-chip HCZ (the single-chip RTI production blocking)
+    exchanges 16 rows per 5 steps and matches single-device stepping."""
+    from multiphase_lbm_tpu.models import hcz
+    from multiphase_lbm_tpu.ops import pallas_hcz
+
+    p = hcz.HCZParams()
+    nx, ny = 64, 128
+    state = hcz.init_rayleigh_taylor(nx, ny, p, dtype=jnp.float32)
+    fluid = hcz.geometry_channel(nx, ny)
+    state = hcz.apply_geometry(state, fluid)
+    f, g = state
+    m32 = fluid.astype(jnp.float32)
+
+    ref_f, ref_g = pallas_hcz.run_fused(f, g, m32, p, 5, tile=8,
+                                        interpret=True, nsub=1)
+
+    mesh = sh.make_mesh(4, axis_names=("y",))
+    step = sh.make_fused_hcz_step(mesh, p, tile=8, interpret=True, nsub=5)
+    out_f, out_g = step(f, g, m32)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_fused_fakhari_multichip(eight_devices):
+    """Merged Fakhari kernel under shard_map halo exchange (nsub=2,
+    16-row exchange) matches the XLA single-device path."""
+    from multiphase_lbm_tpu.models import fakhari as fk
+
+    p = fk.FakhariParams()
+    nx, ny = 64, 128
+    h, g, u = fk.init_bubble(nx, ny, p, dtype=jnp.float32)
+    ref = (h, g, u)
+    for _ in range(2):
+        ref = fk.step(ref, p)
+
+    mesh = sh.make_mesh(4, axis_names=("y",))
+    step = sh.make_fused_fakhari_step(mesh, p, tile=16, interpret=True,
+                                      nsub=2)
+    out = step(h, g, u)
+    for a, b, name in zip(out, ref, ("h", "g", "u")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
