@@ -347,7 +347,7 @@ def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None):
     p = rt.SCRTParams(
         omega=omega, rhol=_num(cfg, "rhol", 1.2), rhog=_num(cfg, "rhog", 0.4),
         g=_num(cfg, "g", -5.0), gravity=_num(cfg, "gravity", -1.25e-5))
-    nx, ny = N, 2 * N
+    nx, ny = N, 4 * N + 2     # reference dim {N, 4N+2} (RayleighTaylor2D.h:622)
     f = rt.init_interface(nx, ny, p, dtype=dtype)
     fluid = rt.geometry_channel(nx, ny)
     f = f * fluid[None].astype(f.dtype)

@@ -67,18 +67,18 @@ def test_hcz_temporal_blocking_matches():
     kernel to f32 roundoff (XLA may re-associate differently across the two
     graphs, so bitwise equality is not guaranteed — unlike the SC kernel)."""
     p = hcz.HCZParams(omega=1.25, gravity=-6.25e-6, kappa=0.01)
-    nx, ny = 128, 64
+    nx, ny = 128, 32          # equivalence doesn't need big shapes
     state = hcz.init_rayleigh_taylor(nx, ny, p, dtype=jnp.float32)
     fluid = hcz.geometry_channel(nx, ny)
     f, g = hcz.apply_geometry(state, fluid)
     fl = fluid.astype(jnp.float32)
-    r1 = pallas_hcz.run_fused(f, g, fl, p, 6, tile=32, interpret=True, nsub=1)
-    r2 = pallas_hcz.run_fused(f, g, fl, p, 6, tile=32, interpret=True, nsub=2)
-    r3 = pallas_hcz.run_fused(f, g, fl, p, 6, tile=32, interpret=True,
-                              nsub=3, halo=16)
-    rr = pallas_hcz.run_fused(f, g, fl, p, 5, tile=32, interpret=True, nsub=2)
-    rr1 = pallas_hcz.run_fused(f, g, fl, p, 5, tile=32, interpret=True, nsub=1)
-    for a, b in [(r1, r2), (r1, r3), (rr1, rr)]:
+    # (the wide-halo nsub=5/halo=16 path is covered by
+    # test_sharding.test_fused_hcz_multichip_wide_exchange)
+    r1 = pallas_hcz.run_fused(f, g, fl, p, 2, tile=32, interpret=True, nsub=1)
+    r2 = pallas_hcz.run_fused(f, g, fl, p, 2, tile=32, interpret=True, nsub=2)
+    rr = pallas_hcz.run_fused(f, g, fl, p, 3, tile=32, interpret=True, nsub=2)
+    rr1 = pallas_hcz.run_fused(f, g, fl, p, 3, tile=32, interpret=True, nsub=1)
+    for a, b in [(r1, r2), (rr1, rr)]:
         for i in range(2):
             np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b[i]),
                                        rtol=2e-5, atol=1e-6)

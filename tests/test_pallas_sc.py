@@ -95,24 +95,25 @@ def test_temporal_blocking_bitwise(periodic):
     single-step kernel bit-for-bit: same op order per sub-step, rolls are
     exact copies, and the halo margin (2 rows/sub-step) is never exceeded."""
     p = sc.SCParams(collision="mrt")
-    nx, ny = 128, 64
-    f = sc.init_droplet(nx, ny, p, radius=10.0, dtype=jnp.float32)
+    nx, ny = 128, 32          # bitwise identity doesn't need big shapes
+    f = sc.init_droplet(nx, ny, p, radius=6.0, dtype=jnp.float32)
     fluid = (sc.geometry_periodic(nx, ny) if periodic
              else sc.geometry_channel_walls(nx, ny))
     f = sc.apply_geometry(f, fluid)
     fl = fluid.astype(jnp.float32)
-    r1 = pallas_sc.run_fused(f, fl, p, 8, tile=32, interpret=True,
+    r1 = pallas_sc.run_fused(f, fl, p, 4, tile=32, interpret=True,
                              periodic=periodic, nsub=1)
-    r2 = pallas_sc.run_fused(f, fl, p, 8, tile=32, interpret=True,
+    r2 = pallas_sc.run_fused(f, fl, p, 4, tile=32, interpret=True,
                              periodic=periodic, nsub=2)
-    r8 = pallas_sc.run_fused(f, fl, p, 8, tile=32, interpret=True,
-                             periodic=periodic, nsub=8, halo=16)
-    rrem = pallas_sc.run_fused(f, fl, p, 7, tile=32, interpret=True,
-                               periodic=periodic, nsub=4)
-    rrem1 = pallas_sc.run_fused(f, fl, p, 7, tile=32, interpret=True,
-                                periodic=periodic, nsub=1)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
-    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r8))
+    if periodic:              # wide-halo variant: one case suffices
+        r4 = pallas_sc.run_fused(f, fl, p, 4, tile=32, interpret=True,
+                                 periodic=periodic, nsub=4, halo=16)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r4))
+    rrem = pallas_sc.run_fused(f, fl, p, 3, tile=32, interpret=True,
+                               periodic=periodic, nsub=2)
+    rrem1 = pallas_sc.run_fused(f, fl, p, 3, tile=32, interpret=True,
+                                periodic=periodic, nsub=1)
     np.testing.assert_array_equal(np.asarray(rrem1), np.asarray(rrem))
 
 
