@@ -28,19 +28,23 @@ Q = 19
 
 
 def _roll3(arr, cz, cy, cx):
-    """Value at (z+cz, y+cy, x+cx); z wraps only inside the halo-extended
-    block (artifacts confined to cropped slabs)."""
+    """Value at (..., z+cz, y+cy, x+cx) on the trailing three axes; z wraps
+    only inside the halo-extended block (artifacts confined to cropped
+    slabs).  Works on stacked (B, Text, ny, nx) arrays so several fields
+    share one roll (rolls have a large fixed cost on this chip)."""
+    nd = arr.ndim
     out = arr
     if cz:
-        out = pltpu.roll(out, (-cz) % arr.shape[0], 0)
+        out = pltpu.roll(out, (-cz) % arr.shape[nd - 3], nd - 3)
     if cy:
-        out = pltpu.roll(out, (-cy) % arr.shape[1], 1)
+        out = pltpu.roll(out, (-cy) % arr.shape[nd - 2], nd - 2)
     if cx:
-        out = pltpu.roll(out, (-cx) % arr.shape[2], 2)
+        out = pltpu.roll(out, (-cx) % arr.shape[nd - 1], nd - 1)
     return out
 
 
-def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
+def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
+                 halo_in: bool = False):
     lat = D3Q19
     w, c, opp = lat.w, lat.c, lat.opp
     halo = HALO * nsub          # z slices carry no Mosaic alignment constraint
@@ -49,7 +53,7 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
     # middle-stripe loads span [z0-halo, z0+Tz+halo); they stay in bounds
     # only when halo <= Tz (otherwise stripes 1 and nprog-2 read past the
     # array ends -- an out-of-bounds DMA on hardware)
-    assert nprog == 1 or Tz >= halo, (Tz, halo)
+    assert halo_in or nprog == 1 or Tz >= halo, (Tz, halo)
     dphi = p.phi_l - p.phi_g
     drho = p.rho_l - p.rho_g
 
@@ -59,7 +63,7 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
         return (r / 3.0) * (1.0 + rt + rt * rt - rt ** 3) / (om * om * om) \
             - p.a * r * r
 
-    def kernel(f_hbm, g_hbm, outf_ref, outg_ref, fbuf, gbuf, sem):
+    def kernel(f_hbm, g_hbm, outf_hbm, outg_hbm, fbuf, gbuf, sem):
         i = pl.program_id(0)
         z0 = i * Tz
 
@@ -69,6 +73,13 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
             d.wait()
 
         def load(hbm, buf, slot):
+            if halo_in:
+                # caller supplies (Q, nz+2·halo, ny, nx) arrays with filled
+                # z-halos: uniform in-bounds loads (multi-chip path); stripe
+                # i's interior starts at halo + i·Tz, so [z0, z0+Text) is
+                # exactly interior ± halo
+                cp(hbm.at[:, pl.ds(z0, Text)], buf.at[:, :], slot)
+                return
             if nprog == 1:
                 cp(hbm.at[:, pl.ds(nz - halo, halo)], buf.at[:, pl.ds(0, halo)], slot)
                 cp(hbm.at[:, pl.ds(0, nz)], buf.at[:, pl.ds(halo, nz)], slot)
@@ -79,9 +90,11 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
                     cp(hbm.at[:, pl.ds(nz - halo, halo)], buf.at[:, pl.ds(0, halo)], slot)
                     cp(hbm.at[:, pl.ds(0, Tz + halo)], buf.at[:, pl.ds(halo, Tz + halo)], slot)
 
-                @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
-                def _():
-                    cp(hbm.at[:, pl.ds(z0 - halo, Text)], buf.at[:, :], slot)
+                if nprog > 2:   # middle stripes exist only for >=3 programs
+                    @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
+                    def _():
+                        cp(hbm.at[:, pl.ds(z0 - halo, Text)], buf.at[:, :],
+                           slot)
 
                 @pl.when(i == nprog - 1)
                 def _():
@@ -95,9 +108,15 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
         cg = [gbuf[k, :, :, :] for k in range(Q)]
         for _ in range(nsub):
             cf, cg = step_block(cf, cg)
+        # write the valid interior back into the (already-consumed) scratch
+        # buffers and DMA straight to HBM — no dedicated VMEM out blocks, so
+        # the whole budget goes to the halo-extended working set (enables
+        # nsub=2 temporal blocking at tile=8 within the 128 MB VMEM)
         for k in range(Q):
-            outf_ref[k] = cf[k][halo:halo + Tz]
-            outg_ref[k] = cg[k][halo:halo + Tz]
+            fbuf[k, halo:halo + Tz] = cf[k][halo:halo + Tz]
+            gbuf[k, halo:halo + Tz] = cg[k][halo:halo + Tz]
+        cp(fbuf.at[:, pl.ds(halo, Tz)], outf_hbm.at[:, pl.ds(z0, Tz)], 0)
+        cp(gbuf.at[:, pl.ds(halo, Tz)], outg_hbm.at[:, pl.ds(z0, Tz)], 1)
 
     def step_block(fb, gb):
         """One full 3D HCZ step on the halo-extended block; output slabs
@@ -137,8 +156,11 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
             return 6.0 * s
 
         lap_phi = lap(phi)
-        glpx, glpy, glpz = grad(lap_phi)
-        gppx, gppy, gppz = grad(psi_phi)
+        # one stacked gradient pass for (∇²φ, ψφ): every roll carries both
+        # fields (rolls are fixed-cost ops; see CLAUDE.md op-cost model)
+        g2x, g2y, g2z = grad(jnp.stack([lap_phi, psi_phi]))
+        glpx, glpy, glpz = g2x[0], g2y[0], g2z[0]
+        gppx, gppy, gppz = g2x[1], g2y[1], g2z[1]
 
         Fx = p.kappa * phi * glpx
         Fy = p.kappa * phi * glpy + p.gravity * rho
@@ -193,8 +215,10 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
             if cx == 0 and cy == 0 and cz == 0:
                 nf, ng = post_f[k], post_g[k]
             else:
-                nf = _roll3(post_f[k], -cz, -cy, -cx)
-                ng = _roll3(post_g[k], -cz, -cy, -cx)
+                # one stacked roll streams both distributions
+                pk = _roll3(jnp.stack([post_f[k], post_g[k]]),
+                            -cz, -cy, -cx)
+                nf, ng = pk[0], pk[1]
             new_f.append(nf)
             new_g.append(ng)
         return new_f, new_g
@@ -202,19 +226,18 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1):
     return kernel
 
 
-def _make_call(p, nz, ny, nx, Tz, interpret, nsub, shape, dtype):
+def _make_call(p, nz, ny, nx, Tz, interpret, nsub, shape, dtype,
+               halo_in=False):
     Text = Tz + 2 * HALO * nsub
-    kernel = _make_kernel(p, nz, ny, nx, Tz, nsub=nsub)
+    kernel = _make_kernel(p, nz, ny, nx, Tz, nsub=nsub, halo_in=halo_in)
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(shape, dtype),
                    jax.ShapeDtypeStruct(shape, dtype)),
         grid=(nz // Tz,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=(pl.BlockSpec((Q, Tz, ny, nx), lambda i: (0, i, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((Q, Tz, ny, nx), lambda i: (0, i, 0, 0),
-                                memory_space=pltpu.VMEM)),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((Q, Text, ny, nx), jnp.float32),
             pltpu.VMEM((Q, Text, ny, nx), jnp.float32),
@@ -247,3 +270,18 @@ def run_fused_3d(f, g, p: HCZParams, n_steps: int, tile: int = 4,
         f, g = _make_call(p, nz, ny, nx, Tz, interpret, rem,
                           f.shape, f.dtype)(f, g)
     return f, g
+
+
+def step_fused_halo_3d(f_ext, g_ext, p: HCZParams, tile: int = 0,
+                       interpret: bool = False, nsub: int = 1):
+    """``nsub`` fused 3D HCZ steps on z-halo-extended blocks
+    (``nz+2·3·nsub`` slabs with pre-filled halos) — the multi-chip building
+    block.  Returns the cropped ``(Q, nz, ny, nx)`` state."""
+    _, nz_ext, ny, nx = f_ext.shape
+    halo = HALO * nsub
+    nz = nz_ext - 2 * halo
+    Tz = tile or min(8, nz)
+    assert nz % Tz == 0, (nz, Tz)
+    shape = (Q, nz, ny, nx)
+    return _make_call(p, nz, ny, nx, Tz, interpret, nsub, shape,
+                      f_ext.dtype, halo_in=True)(f_ext, g_ext)

@@ -194,6 +194,32 @@ def make_fused_hcz_step(mesh: Mesh, p, tile: int = 0, interpret: bool = False,
     return jax.jit(shard_fn)
 
 
+def make_fused_hcz3d_step(mesh: Mesh, p, tile: int = 0,
+                          interpret: bool = False, nsub: int = 1):
+    """Multi-chip fused 3D HCZ (D3Q19) step: the ``(Q, nz, ny, nx)`` volume
+    is sharded on z along mesh axis 'z'; ring ppermute exchanges the
+    ``3·nsub``-slab z-halo (z slices carry no Mosaic alignment constraint,
+    so the exchange width is exactly the physical reach), then the halo-mode
+    stripe kernel advances ``nsub`` steps per call on each shard."""
+    from ..ops import pallas_hcz3d
+
+    H = pallas_hcz3d.HALO * nsub
+
+    def local_step(f_loc, g_loc):
+        f_ext = _exchange_axis(f_loc, H, 1, "z")
+        g_ext = _exchange_axis(g_loc, H, 1, "z")
+        return pallas_hcz3d.step_fused_halo_3d(f_ext, g_ext, p, tile=tile,
+                                               interpret=interpret,
+                                               nsub=nsub)
+
+    shard_fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, "z", None, None), P(None, "z", None, None)),
+        out_specs=(P(None, "z", None, None), P(None, "z", None, None)),
+        check_vma=False)
+    return jax.jit(shard_fn)
+
+
 def make_fused_fakhari_step(mesh: Mesh, p, tile: int = 0,
                             interpret: bool = False, nsub: int = 1):
     """Multi-chip fused Fakhari step (y-sharded; ring halo exchange of

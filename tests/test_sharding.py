@@ -91,6 +91,28 @@ def test_fused_hcz_multichip_wide_exchange(eight_devices):
                                rtol=2e-5, atol=1e-6)
 
 
+def test_fused_hcz3d_multichip(eight_devices):
+    """3D HCZ kernel under z-sharded shard_map halo exchange (nsub=2,
+    6-slab exchange) matches single-device stepping."""
+    from multiphase_lbm_tpu.models import hcz
+    from multiphase_lbm_tpu.ops import pallas_hcz3d
+
+    p = hcz.HCZParams(omega=1.0, gravity=0.0, kappa=0.01)
+    f, g = hcz.init_droplet_3d(16, 16, 32, p, radius=5.0, dtype=jnp.float32)
+    fluid = jnp.ones((32, 16, 16), bool)
+    ref = (f, g)
+    for _ in range(2):
+        ref = hcz.step_3d(ref, fluid, p)
+
+    mesh = sh.make_mesh(4, axis_names=("z",))
+    step = sh.make_fused_hcz3d_step(mesh, p, tile=8, interpret=True, nsub=2)
+    out_f, out_g = step(f, g)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref[0]),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref[1]),
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_fused_fakhari_multichip(eight_devices):
     """Merged Fakhari kernel under shard_map halo exchange (nsub=2,
     16-row exchange) matches the XLA single-device path."""
