@@ -10,6 +10,11 @@ Usage (TPU):
 N=256 (default) runs the XLA path (~1 min to t=2); N=2048 runs the fused
 Pallas path with 5-step temporal blocking (2048×8200 lattice, ~35 s of
 stepping per simulated time unit at ~2000 MLUPS).
+
+Measured result (v5e, f32 fused path, t_end=3, N=2048, 2026-08-16):
+max |spike − literature| = 0.0596, max |bubble − literature| = 0.0267
+(tolerance 0.15) — PASS.  The trajectory is archived in
+``validation/data/rti2048_trajectory.npz`` (t, spike, bubble arrays).
 """
 from __future__ import annotations
 
@@ -29,8 +34,20 @@ def run_regression(t_end=2.0, N=256, dtype=None, log_every=0.05,
     dtype = dtype or jnp.float32
     if fused is None:
         fused = N >= 1024
-    nu, omega, dx, dt = lb_parameters(0.04, N, 3000.0)
-    p = hcz.HCZParams(omega=omega, gravity=-6.25e-6, kappa=0.01)
+    # The notebook's out_256/out_2048 folders are *Reynolds numbers* (plot
+    # titles "Re = 256" / "Re = 2048", curves digitized from He et al. 1999).
+    # The shipped config (config_rayleighTaylor2D.txt) runs Re=3000 at N=256
+    # and its output tracks the Re-256 curves to the regression tolerance, so
+    # the 256 case keeps the config value; the 2048 case uses the literature
+    # Re it is compared against.
+    Re = 2048.0 if N >= 1024 else 3000.0
+    ulb = 0.04
+    nu, omega, dx, dt = lb_parameters(ulb, N, Re)
+    # Dimensionless gravity g* = g_lu·N/ulb² is exactly 1 for the reference
+    # config (6.25e-6·256/0.04² = 1, rayleighTaylor2D.h:56-62 scaling with
+    # dt = dx·ulb), so the LU gravity must scale as 1/N to stay the same
+    # physical problem at higher resolution.
+    p = hcz.HCZParams(omega=omega, gravity=-ulb * ulb / N, kappa=0.01)
     ny = 4 * N + 2
     if fused:
         # fused kernel needs 8-multiple rows; pad rows are marked solid so
