@@ -526,7 +526,7 @@ def _reseed_simultaneous(g, P, F_old, F_new, fluid_new, p: PulsatileParams):
     return jnp.where((fresh & fluid_new)[None], fill, g)
 
 
-RESEED_K = 96   # max fresh cells handled exactly-sequentially per step
+RESEED_K = 256  # max fresh cells handled exactly per step
 _PAD = 4
 
 
@@ -536,48 +536,84 @@ def reseed_fresh_nodes(g, P, F_old, F_new, fluid_new, p: PulsatileParams):
 
     The reference processes fresh cells *sequentially* in x-then-y order and
     its ring-search fallback reads neighbours filled earlier in the same
-    sweep, so the result is order-dependent.  We reproduce that exactly with
-    a ``fori_loop`` over the fresh-cell list whose trip count is the
-    *actual* on-device fresh-cell count (clamped to ``RESEED_K``, far above
-    the observed per-step count of 0–2); any overflow cells get the
-    order-independent fill, computed under a ``lax.cond`` so the common
-    no-overflow step never pays for it."""
-    ny, nx = p.ny, p.nx
-    dt = g.dtype
+    sweep, so the result is order-dependent.  But the order is only
+    *observable* when a fresh cell's fill READS another fresh cell: the
+    Ffrac-weighted 3×3 average weights neighbours by ``trunc(F_old)``, which
+    is 0 for every fresh cell, so it reads old-fluid populations only; only
+    the ring-search fallback (fires when the 3×3 has NO old-fluid neighbour)
+    and an inlet/outlet copy whose source row is itself fresh can see
+    earlier fills.  Wall-motion waves seed O(100) cells in one step
+    (measured: 159 at step 51 of the reference config), so the common case
+    is made fast: a *batched* pass computes every fill from the pre-reseed
+    state with the same per-cell expression tree as the sequential loop
+    (equal to within compiler FMA/fusion reassociation, ≤1 ulp, when no
+    fill reads a fresh cell), and a ``lax.cond`` falls back to the exact
+    sequential ``fori_loop`` on the rare order-dependent steps.  Steps with
+    NO fresh cells (the majority) skip the whole dispatch behind an outer
+    cond and pay only the fresh-mask reduction.
+    """
     Fo = F_old[1:-1, 1:-1]
     Fn = F_new[1:-1, 1:-1]
     fresh = (Fo < 1.0) & (Fn >= 1.0) & fluid_new
+    n_fresh = jnp.sum(fresh.astype(jnp.int32))
+
+    def _do(gg):
+        return _reseed_dispatch(gg, P, F_old, F_new, fluid_new, fresh,
+                                n_fresh, p)
+
+    return jax.lax.cond(n_fresh > 0, _do, lambda gg: gg, g)
+
+
+def _reseed_dispatch(g, P, F_old, F_new, fluid_new, fresh, n_fresh,
+                     p: PulsatileParams):
+    ny, nx = p.ny, p.nx
+    dt = g.dtype
+    Fo = F_old[1:-1, 1:-1]
 
     # x-major ordering of fresh cells (reference loop :389)
     fresh_T = jnp.transpose(fresh).reshape(-1)          # index = x*ny + y
     idxs = jnp.nonzero(fresh_T, size=RESEED_K, fill_value=-1)[0]
-    n_fresh = jnp.sum(fresh_T.astype(jnp.int32))
 
     Ffrac = jnp.maximum(jnp.trunc(Fo), 0.0).astype(dt)  # int(Fold) weights
     pad2 = ((_PAD, _PAD), (_PAD, _PAD))
     Ffrac_p = jnp.pad(Ffrac, pad2)
     fluid_p = jnp.pad(fluid_new, pad2).astype(dt)
+    fresh_p = jnp.pad(fresh, pad2)
     gp = jnp.pad(g, ((0, 0),) + pad2)
 
     y0c = p.y0
 
-    def fill_one(i, gp):
-        idx = idxs[i]
+    def fill_val(gsrc, idx):
+        """One cell's fill value from the populations in ``gsrc`` — the
+        shared arithmetic of the sequential and batched paths (bitwise
+        identical by construction).  Also returns whether this fill READS
+        potentially-fresh cells (ring fallback / fresh edge source), i.e.
+        whether processing order is observable for it."""
         x = idx // ny
         y = idx % ny
         yy, xx = y + _PAD, x + _PAD
 
-        win = jax.lax.dynamic_slice(gp, (0, yy - 4, xx - 4), (9, 9, 9))
+        win = jax.lax.dynamic_slice(gsrc, (0, yy - 4, xx - 4), (9, 9, 9))
         fw = jax.lax.dynamic_slice(fluid_p, (yy - 4, xx - 4), (9, 9))
         Fw = jax.lax.dynamic_slice(Ffrac_p, (yy - 4, xx - 4), (9, 9))
+        fr = jax.lax.dynamic_slice(fresh_p, (yy - 4, xx - 4), (9, 9))
 
         # --- inlet/outlet: copy the row toward the channel center (:408-422)
         edge_val = jnp.where(y < y0c, win[:, 5, 4], win[:, 3, 4])
+        edge_src_fresh = jnp.where(y < y0c, fr[5, 4], fr[3, 4])
 
         # --- Ffrac-weighted 3x3 average (:465-490) ---
+        # explicit fixed-order accumulation (not einsum/sum): the batched
+        # vmap path must execute the SAME expression tree as the sequential
+        # loop so the two are bitwise identical, and reduction primitives
+        # lower with different accumulation orders under vmap
         W3 = Fw[3:6, 3:6]
-        sum_frac = jnp.sum(W3)
-        acc = jnp.einsum("kij,ij->k", win[:, 3:6, 3:6], W3)  # center weight 0
+        sum_frac = jnp.zeros((), dt)
+        acc = jnp.zeros((9,), dt)
+        for j in range(3):
+            for i in range(3):
+                sum_frac = sum_frac + W3[j, i]
+                acc = acc + win[:, 3 + j, 3 + i] * W3[j, i]  # center weight 0
         weighted = acc / jnp.maximum(sum_frac, 1e-30)
         cur = win[:, 4, 4]
         int_val = cur
@@ -613,24 +649,82 @@ def reseed_fresh_nodes(g, P, F_old, F_new, fluid_new, p: PulsatileParams):
         is_edge = (x == 0) | (x == nx - 1)
         val = jnp.where(is_edge, edge_val,
                         jnp.where(sum_frac == 0.0, ring_val, int_val))
+        order_dep = jnp.where(is_edge, edge_src_fresh,
+                              sum_frac == 0.0)   # ring reads fluid_new cells
+        return val, order_dep, yy, xx
+
+    def fill_one(i, gp):
+        idx = idxs[i]
+        val, _, yy, xx = fill_val(gp, idx)
         upd = jax.lax.dynamic_update_slice(gp, val.reshape(9, 1, 1),
                                            (0, yy, xx))
         return jnp.where(idx >= 0, upd, gp)
 
-    # trip count = actual fresh cells (idxs beyond n_fresh are -1 fills the
-    # old fixed-96 loop discarded anyway; skipping them is bit-exact)
-    gp = jax.lax.fori_loop(0, jnp.minimum(n_fresh, RESEED_K), fill_one, gp)
-    g_seq = gp[:, _PAD:-_PAD, _PAD:-_PAD]
+    # ---- dense batched pass ----
+    # Every fill from the PRE-reseed state via 9 stacked rolls over the
+    # whole lattice — the same (j, i) accumulation order as fill_val's
+    # window loop, so it matches the sequential pass to FMA reassociation.
+    # The ring fallback is NOT computed here: a cell that needs it is
+    # order-dependent by definition and routes the whole step to the exact
+    # sequential loop below.
+    stack = jnp.concatenate(
+        [g, Ffrac[None], fresh[None].astype(dt)], axis=0)   # (11, ny, nx)
+    sum_frac_d = jnp.zeros((ny, nx), dt)
+    acc_d = jnp.zeros((9, ny, nx), dt)
+    rolled = {}
+    for j in range(3):
+        for i in range(3):
+            ex, ey = i - 1, j - 1
+            # value at (Y+ey, X+ex) on the trailing two axes
+            nb = stack if ex == 0 and ey == 0 else jnp.roll(
+                stack, (-ey, -ex), axis=(1, 2))
+            rolled[(ex, ey)] = nb
+            Fnb = nb[9]
+            sum_frac_d = sum_frac_d + Fnb
+            acc_d = acc_d + nb[:9] * Fnb[None]
+    weighted_d = acc_d / jnp.maximum(sum_frac_d, 1e-30)[None]
+    int_val_d = jnp.zeros_like(g)
+    for I in range(9):
+        exi, eyi = int(EX_I[I]), int(EY_I[I])
+        kI = int(K_FROM_I[I])
+        need = rolled[(-exi, -eyi)][9] != 1.0   # upstream Ffrac (W3 index)
+        int_val_d = int_val_d.at[kI].set(
+            jnp.where(need, weighted_d[kI], g[kI]))
+    rows_d = jnp.arange(ny)[:, None]
+    cols_d = jnp.arange(nx)[None, :]
+    is_edge_d = (cols_d == 0) | (cols_d == nx - 1)
+    below_d = rows_d < y0c
+    edge_val_d = jnp.where(below_d[None], rolled[(0, 1)][:9],
+                           rolled[(0, -1)][:9])
+    edge_src_fresh_d = jnp.where(below_d, rolled[(0, 1)][10],
+                                 rolled[(0, -1)][10]) > 0.5
+    val_d = jnp.where(is_edge_d[None], edge_val_d, int_val_d)
+    dep_map = fresh & jnp.where(is_edge_d, edge_src_fresh_d,
+                                sum_frac_d == 0.0)
+    any_dep = jnp.any(dep_map)
 
-    # overflow cells (beyond RESEED_K) → simultaneous fill; guarded by a
-    # cond so the (never-observed) overflow branch costs nothing per step
+    def seq_path(_):
+        # trip count = actual fresh cells (idxs beyond n_fresh are -1 fills
+        # the old fixed-bound loop discarded anyway; skipping is bit-exact)
+        gp_s = jax.lax.fori_loop(0, jnp.minimum(n_fresh, RESEED_K),
+                                 fill_one, gp)
+        return gp_s[:, _PAD:-_PAD, _PAD:-_PAD]
+
+    def batch_path(_):
+        return jnp.where(fresh[None], val_d, g)
+
+    g_seq = jax.lax.cond(any_dep, seq_path, batch_path, 0)
+
+    # overflow cells (beyond RESEED_K) → simultaneous fill; only reachable
+    # through the sequential branch (the dense batch pass covers ALL fresh
+    # cells); guarded by a cond so it costs nothing per step
     def with_overflow(g_seq):
         order = jnp.cumsum(fresh_T.astype(jnp.int32))
         over = (fresh_T & (order > RESEED_K)).reshape(nx, ny).T
         g_sim = _reseed_simultaneous(g, P, F_old, F_new, fluid_new, p)
         return jnp.where(over[None], g_sim, g_seq)
 
-    return jax.lax.cond(n_fresh > RESEED_K, with_overflow,
+    return jax.lax.cond(any_dep & (n_fresh > RESEED_K), with_overflow,
                         lambda gs: gs, g_seq)
 
 

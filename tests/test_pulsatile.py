@@ -109,3 +109,38 @@ def test_non_severed_deformable():
     yr2 = np.asarray(st.yr2)
     assert (yr1 > 0.5).all() and (yr2 < N - 1).all()
     assert (yr2 - yr1 > 1.0).all()   # vessel stays open
+
+
+def test_reseed_batched_matches_sequential():
+    """The batched reseed pass must equal the exact sequential fori_loop
+    (to within compiler FMA reassociation, ≤1 ulp) whenever no fill is
+    order-dependent.  Drive the reference config into its wall-relaxation
+    transient — which seeds O(100) fresh cells in single steps, the regime
+    the batch path exists for — and compare the two paths directly."""
+    import jax
+
+    N = 64
+    p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N)
+    st0 = pb.initialize(p)
+    st0 = pb.run(st0, 0, p, 50)        # into the transient
+    s1 = pb.step(st0, 50, p)
+    F_new = pb.fobj_from_walls(s1.yr1, s1.yr2, p)
+    fluid_new = pb.flags_from_fobj(F_new, p)
+    fresh = np.asarray((st0.F[1:-1, 1:-1] < 1.0)
+                       & (F_new[1:-1, 1:-1] >= 1.0) & np.asarray(fluid_new))
+    assert fresh.sum() > 50            # the many-fresh-cells regime
+    g = st0.g_stream
+
+    out = pb.reseed_fresh_nodes(g, st0.P, st0.F, F_new, fluid_new, p)
+    # sequential oracle: monkeypatch lax.cond to always take the
+    # sequential branch (reseed_fresh_nodes is not jitted standalone)
+    orig_cond = jax.lax.cond
+    try:
+        jax.lax.cond = lambda pred, tf, ff, *a: tf(*a)
+        seq = pb.reseed_fresh_nodes(g, st0.P, st0.F, F_new, fluid_new, p)
+    finally:
+        jax.lax.cond = orig_cond
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
+                               rtol=0, atol=1e-14)
+    # and the batch actually filled the fresh cells (not a no-op)
+    assert not np.array_equal(np.asarray(out), np.asarray(g))
