@@ -251,13 +251,23 @@ def _make_call(p, nz, ny, nx, Tz, interpret, nsub, shape, dtype,
 
 @partial(jax.jit, static_argnames=("p", "n_steps", "tile", "interpret",
                                    "nsub"))
-def run_fused_3d(f, g, p: HCZParams, n_steps: int, tile: int = 4,
-                 interpret: bool = False, nsub: int = 1):
+def run_fused_3d(f, g, p: HCZParams, n_steps: int, tile: int = 8,
+                 interpret: bool = False, nsub: int = 2):
     """Advance the fully-periodic 3D HCZ state with the fused kernel;
-    ``nsub`` steps per launch (temporal blocking, z-halo = 3·nsub slabs)."""
+    ``nsub`` steps per launch (temporal blocking, z-halo = 3·nsub slabs).
+
+    Measured 128³ f32 on one v5e (fresh-input timing): tile=8 nsub=1
+    589.5 MLUPS, tile=8 nsub=2 **706.5 MLUPS** (production default),
+    tile=16 nsub=1 597.8; tile=16 nsub=2 exceeds VMEM (Text=28 slabs ×
+    2 distributions ≈ 139 MB).  The scratch-DMA output path (no dedicated
+    VMEM out blocks) is what lets nsub=2 fit at tile=8."""
     _, nz, ny, nx = f.shape
     Tz = tile
     assert nz % Tz == 0, (nz, Tz)
+    # stripe-load bound: middle stripes DMA [z0-halo, z0+Tz+halo), so the
+    # tile must cover the halo; shrink the temporal blocking to fit
+    while nz // Tz > 1 and Tz < HALO * nsub and nsub > 1:
+        nsub -= 1
     call = _make_call(p, nz, ny, nx, Tz, interpret, nsub, f.shape, f.dtype)
 
     def body(carry, _):
