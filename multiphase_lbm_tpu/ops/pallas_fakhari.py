@@ -21,6 +21,14 @@ over ``(9, rows, nx)`` arrays.
 Reference semantics: ``Young_Laplace2D.h:217-290`` (collide_stream_at)
 and ``:297-370`` (update_fields); pinned to :mod:`..models.fakhari` by an
 interpreter-mode equivalence test.
+
+Measured 1024² f32 on one v5e: 883 MLUPS single-step (tile=256),
+1336 at the tile=128/nsub=3 default, 1552 at nsub=6, 1620 at nsub=9
+(tile=256 with nsub≥3 exceeds VMEM).  Negative result worth keeping:
+threading the post-stream refresh fields into the next substep's collide
+(pure CSE, −6 rolls/substep) measured SLOWER (1449 vs 1620 at nsub=9) —
+the fields held live across the substep boundary inflate the peak VMEM
+live-set and the resulting spills cost more than the saved rolls.
 """
 from __future__ import annotations
 
