@@ -27,6 +27,13 @@ Supported = the reference main's default path: ``topology='inflow_outflow'``,
 ``conj_scheme='li2014'`` (or ``'none'``), no body force, no
 temperature-coupling corrector, no free-slip walls.  Anything else raises
 ``NotImplementedError`` — use :func:`..models.combustion.run`.
+
+Measured 420×80 f32 on a SERIAL v5e chip (round 2): **452.9 MLUPS** with
+all four populations (0.07 ms/step) and 505.5 flow-only, vs the XLA
+path's 153.8 / 367.4 — 2.9× on the full physics.  (An earlier
+chip-contended reading suggested the kernel was no faster than XLA; it
+is.)  The whole-lattice-in-VMEM layout OOMs beyond ~60k cells (840×160
+needs 179 MB); the runner auto-selects XLA there (416 MLUPS konv).
 """
 from __future__ import annotations
 

@@ -429,7 +429,7 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
                    flow_steps=20000, scalar_steps=5000, T_solid=None,
                    conj_scheme="li2014", restart=None, save_flow=True,
                    benchmark=False, bench_ini_iter=1000, bench_max_iter=2000,
-                   fused=False):
+                   fused=None):
     """Two-stage combustion driver (reference main :4074-4496).
 
     ``restart`` warm-starts the flow from a reference-format ``ini_f.dat``
@@ -448,10 +448,14 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
     if benchmark:
         import time
         st = cb.initialize(p, dtype=dtype, T_solid=T_solid, flags=flags)
+        # measured v5e f32 (serial chip, fresh-input timing): fused 505.5
+        # MLUPS flow-only / 452.9 all-four-populations at 420x80 vs XLA
+        # 367.4 / 153.8.  The whole-lattice-in-VMEM kernel OOMs beyond
+        # ~60k cells (840x160 needs 179 MB), where the XLA path takes
+        # over (416 MLUPS konv at 840x160).
+        if fused is None:
+            fused = nx * ny <= 60000
         if fused:
-            # experimental: the fused kernel is op-latency-bound on v5e and
-            # currently SLOWER than the XLA path at 420×80 (see
-            # ops/pallas_combustion.py docstring)
             from ..ops import pallas_combustion as pcmb
             runner = pcmb.run_fused
         else:

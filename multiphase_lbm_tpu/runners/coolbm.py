@@ -89,7 +89,7 @@ def main(argv=None):
                             conj_scheme=args.scheme,
                             restart=args.restart,
                             benchmark=args.bench,
-                            fused=args.fused)
+                            fused=args.fused or None)   # None = auto by shape
         return 0
 
     fn, needs_cfg = PROBLEMS[args.problem]
