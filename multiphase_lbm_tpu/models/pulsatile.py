@@ -334,6 +334,11 @@ def _bouzidi_one(gout, F, delta, p: PulsatileParams):
         in1, in2, in3 = inDom(1), inDom(2), inDom(3)
         active = active & in1                          # :572
 
+        # NOTE: stacking (g_J, g_I, F) into one roll per link distance was
+        # tried (bitwise-identical) and measured FASTER at 621x64 (+10%)
+        # but 1.6x SLOWER at 1261x128 — XLA lowers the stacked (3, ny, nx)
+        # roll into an expensive copy at the larger shape.  Per-field
+        # shifts are robust across shapes.
         gJ1 = _shift_xy(gout[kJ], ex, ey)
         gJ2 = _shift_xy(gout[kJ], 2 * ex, 2 * ey)
         gJ3 = _shift_xy(gout[kJ], 3 * ex, 3 * ey)

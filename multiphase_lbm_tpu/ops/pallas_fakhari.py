@@ -29,6 +29,12 @@ threading the post-stream refresh fields into the next substep's collide
 (pure CSE, −6 rolls/substep) measured SLOWER (1449 vs 1620 at nsub=9) —
 the fields held live across the substep boundary inflate the peak VMEM
 live-set and the resulting spills cost more than the saved rolls.
+Second negative result: routing outputs through the scratch buffers via
+direct DMA (the trick that unlocked HCZ-3D's nsub=2) measured ~1470-1510
+at tile=128/nsub=6 vs 1552 with VMEM out blocks, and the tile=256
+configs it unlocks (1290/1421 at nsub=3/6) don't beat tile=128 — this
+kernel is not VMEM-bound at its best config, so freeing VMEM buys
+nothing and the extra write-back stores cost ~3-5%.
 """
 from __future__ import annotations
 

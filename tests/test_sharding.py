@@ -66,8 +66,14 @@ def test_halo_step_2d_mesh(setup, eight_devices):
 
 
 def test_fused_hcz_multichip_wide_exchange(eight_devices):
-    """nsub=5 multi-chip HCZ (the single-chip RTI production blocking)
-    exchanges 16 rows per 5 steps and matches single-device stepping."""
+    """nsub=3 multi-chip HCZ exchanges 16 rows per 3 steps (the reach·nsub
+    parameterized exchange width, wider than the old 8-row pin) and matches
+    single-device stepping.  nsub is 3 rather than the production 5 because
+    the 5-substep interpret-mode graph nested in shard_map segfaulted the
+    XLA CPU compiler when compiled late in a full-suite run (native stack
+    overflow); the width-parameterization being tested is identical."""
+    import jax as _jax
+    _jax.clear_caches()   # shed accumulated executables before the big one
     from multiphase_lbm_tpu.models import hcz
     from multiphase_lbm_tpu.ops import pallas_hcz
 
@@ -79,11 +85,11 @@ def test_fused_hcz_multichip_wide_exchange(eight_devices):
     f, g = state
     m32 = fluid.astype(jnp.float32)
 
-    ref_f, ref_g = pallas_hcz.run_fused(f, g, m32, p, 5, tile=8,
+    ref_f, ref_g = pallas_hcz.run_fused(f, g, m32, p, 3, tile=8,
                                         interpret=True, nsub=1)
 
     mesh = sh.make_mesh(4, axis_names=("y",))
-    step = sh.make_fused_hcz_step(mesh, p, tile=8, interpret=True, nsub=5)
+    step = sh.make_fused_hcz_step(mesh, p, tile=8, interpret=True, nsub=3)
     out_f, out_g = step(f, g, m32)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
                                rtol=2e-5, atol=1e-6)
