@@ -404,9 +404,12 @@ def zou_he(g, yr1, yr2, t, p: PulsatileParams):
     new1 = g3 + 2.0 * rho0 / 9.0 * Uin
     new5 = rho0 / 18.0 * Uin - 0.5 * (g2 - g4) + g7
     new8 = rho0 / 18.0 * Uin + 0.5 * (g2 - g4) + g6
-    g = g.at[kf[1], :, 0].set(jnp.where(m_in, new1, col[kf[1]]))
-    g = g.at[kf[5], :, 0].set(jnp.where(m_in, new5, col[kf[5]]))
-    g = g.at[kf[8], :, 0].set(jnp.where(m_in, new8, col[kf[8]]))
+    # one column update instead of three (each .at[k,:,0].set copies the
+    # whole (9,ny,nx) array; the merged form copies it once)
+    newcol = col.at[kf[1]].set(jnp.where(m_in, new1, col[kf[1]]))
+    newcol = newcol.at[kf[5]].set(jnp.where(m_in, new5, col[kf[5]]))
+    newcol = newcol.at[kf[8]].set(jnp.where(m_in, new8, col[kf[8]]))
+    g = g.at[:, :, 0].set(newcol)
 
     # outlet (:644-668)
     Pout = jnp.where(t >= p.t_start + p.t_propagation,
@@ -426,9 +429,10 @@ def zou_he(g, yr1, yr2, t, p: PulsatileParams):
     new3 = g1 - 2.0 * rho0 / 9.0 * Uout
     new6 = -rho0 / 18.0 * Uout - 0.5 * (g2 - g4) + g8
     new7 = -rho0 / 18.0 * Uout + 0.5 * (g2 - g4) + g5
-    g = g.at[kf[3], :, -1].set(jnp.where(m_out, new3, col[kf[3]]))
-    g = g.at[kf[6], :, -1].set(jnp.where(m_out, new6, col[kf[6]]))
-    g = g.at[kf[7], :, -1].set(jnp.where(m_out, new7, col[kf[7]]))
+    newcol = col.at[kf[3]].set(jnp.where(m_out, new3, col[kf[3]]))
+    newcol = newcol.at[kf[6]].set(jnp.where(m_out, new6, col[kf[6]]))
+    newcol = newcol.at[kf[7]].set(jnp.where(m_out, new7, col[kf[7]]))
+    g = g.at[:, :, -1].set(newcol)
     return g
 
 
@@ -688,13 +692,13 @@ def _reseed_dispatch(g, P, F_old, F_new, fluid_new, fresh, n_fresh,
             sum_frac_d = sum_frac_d + Fnb
             acc_d = acc_d + nb[:9] * Fnb[None]
     weighted_d = acc_d / jnp.maximum(sum_frac_d, 1e-30)[None]
-    int_val_d = jnp.zeros_like(g)
+    by_k = [None] * 9
     for I in range(9):
         exi, eyi = int(EX_I[I]), int(EY_I[I])
         kI = int(K_FROM_I[I])
         need = rolled[(-exi, -eyi)][9] != 1.0   # upstream Ffrac (W3 index)
-        int_val_d = int_val_d.at[kI].set(
-            jnp.where(need, weighted_d[kI], g[kI]))
+        by_k[kI] = jnp.where(need, weighted_d[kI], g[kI])
+    int_val_d = jnp.stack(by_k)
     rows_d = jnp.arange(ny)[:, None]
     cols_d = jnp.arange(nx)[None, :]
     is_edge_d = (cols_d == 0) | (cols_d == nx - 1)
