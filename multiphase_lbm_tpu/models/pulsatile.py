@@ -747,7 +747,14 @@ def step(state: PulsatileState, t, p: PulsatileParams):
     g = stream_pull(gout)
     g = zou_he(g, state.yr1, state.yr2, t, p)
     P, Ux, Uy = macroscopic(g, state.fluid, p)
+    return finish_step(state, gout, g, P, Ux, Uy, p)
 
+
+def finish_step(state: PulsatileState, gout, g, P, Ux, Uy,
+                p: PulsatileParams):
+    """Geometry tail of the step (wall ODE → Fobj → reseeding → macro
+    fixups), shared by the XLA step above and the fused hydro kernel
+    (:mod:`..ops.pallas_pulsatile`)."""
     if p.deformable:
         yr1, yr2 = move_walls(P, state.yr1, state.yr2, p)
         F_new = fobj_from_walls(yr1, yr2, p)

@@ -119,7 +119,7 @@ def test_reseed_batched_matches_sequential():
     the batch path exists for — and compare the two paths directly."""
     import jax
 
-    N = 64
+    N = 32                             # small lattice: same physics regime
     p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N)
     st0 = pb.initialize(p)
     st0 = pb.run(st0, 0, p, 50)        # into the transient
@@ -128,7 +128,7 @@ def test_reseed_batched_matches_sequential():
     fluid_new = pb.flags_from_fobj(F_new, p)
     fresh = np.asarray((st0.F[1:-1, 1:-1] < 1.0)
                        & (F_new[1:-1, 1:-1] >= 1.0) & np.asarray(fluid_new))
-    assert fresh.sum() > 50            # the many-fresh-cells regime
+    assert fresh.sum() > 20            # the many-fresh-cells regime
     g = st0.g_stream
 
     out = pb.reseed_fresh_nodes(g, st0.P, st0.F, F_new, fluid_new, p)
