@@ -28,10 +28,16 @@ def _prep(p, flags, steps_flow=150):
     return cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
 
 
+@pytest.fixture(scope="module")
+def prepped(small):
+    p, flags, _, _ = small
+    return _prep(p, flags)
+
+
 @pytest.mark.parametrize("konv", [False, True])
-def test_fused_matches_xla(small, konv):
+def test_fused_matches_xla(small, prepped, konv):
     p, flags, f_solid, tab = small
-    st32 = _prep(p, flags)
+    st32 = prepped
     n = 5
     ref = cb.run(st32, p, n, konv=konv)
     out = pc.run_fused(st32, p, n, konv=konv, nsub=2, interpret=True)
