@@ -30,3 +30,19 @@ def eight_devices():
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 virtual CPU devices, got {len(devs)}"
     return devs
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _shed_compiler_state():
+    """Drop accumulated compiled executables between test modules.
+
+    The XLA CPU compiler segfaults nondeterministically (~50% of full-suite
+    runs, always in `backend_compile` of a LATE module's big scan graph —
+    observed in test_sharding and test_pulsatile on different runs) once a
+    long pytest process has accumulated hundreds of compiled programs.
+    Clearing the executable caches at module boundaries keeps the native
+    compiler state small; module-scoped fixtures recompile, which costs
+    ~1 min across the suite and has eliminated the crash in validation
+    runs."""
+    jax.clear_caches()
+    yield
