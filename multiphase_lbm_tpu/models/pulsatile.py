@@ -684,9 +684,17 @@ def _reseed_dispatch(g, P, F_old, F_new, fluid_new, fresh, n_fresh,
     for j in range(3):
         for i in range(3):
             ex, ey = i - 1, j - 1
-            # value at (Y+ey, X+ex) on the trailing two axes
+            # value at (Y+ey, X+ex) on the trailing two axes.  The
+            # sequential oracle (fill_val) reads ZERO-padded windows, so
+            # the rows/cols that wrapped around must be zeroed to match —
+            # otherwise a fresh cell at y=0/ny-1 would see wrapped
+            # neighbor weights (advisor round 2).
             nb = stack if ex == 0 and ey == 0 else jnp.roll(
                 stack, (-ey, -ex), axis=(1, 2))
+            if ey != 0:
+                nb = nb.at[:, ny - 1 if ey > 0 else 0, :].set(0.0)
+            if ex != 0:
+                nb = nb.at[:, :, nx - 1 if ex > 0 else 0].set(0.0)
             rolled[(ex, ey)] = nb
             Fnb = nb[9]
             sum_frac_d = sum_frac_d + Fnb

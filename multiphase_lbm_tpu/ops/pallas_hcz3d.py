@@ -263,6 +263,11 @@ def run_fused_3d(f, g, p: HCZParams, n_steps: int, tile: int = 8,
     VMEM out blocks) is what lets nsub=2 fit at tile=8."""
     _, nz, ny, nx = f.shape
     Tz = tile
+    if nz % Tz != 0:
+        # defaulted/oversized tile: largest divisor of nz ≤ requested
+        # (mirrors the 2D kernels' _pick_tile; advisor round 2 — nz
+        # multiples of 4-but-not-8 must not be rejected)
+        Tz = max(d for d in range(1, min(tile, nz) + 1) if nz % d == 0)
     assert nz % Tz == 0, (nz, Tz)
     # stripe-load bound: middle stripes DMA [z0-halo, z0+Tz+halo), so the
     # tile must cover the halo; shrink the temporal blocking to fit

@@ -16,7 +16,8 @@ max |spike − literature| = 0.0596, max |bubble − literature| = 0.0267
 (tolerance 0.15); velocity curves (notebook cells 2-3: np.gradient +
 7-sample moving average) deviate 0.0801 / 0.0286 (tolerance 0.25) —
 PASS.  The trajectory is archived in
-``validation/data/rti2048_trajectory.npz`` (t, spike, bubble arrays).
+``validation/data/rti2048_trajectory.npz`` (keys t, s, b) and replayed
+against the curves in CI (tests/test_rti_regression.py).
 """
 from __future__ import annotations
 
