@@ -400,16 +400,47 @@ def _abb_triplet(g, amp, rows_or_cols, incoming, axis_col):
     return g
 
 
-def apply_scalar_bcs(g, amp_inlet, p: CombustionParams):
+def apply_scalar_bcs(g, amp_inlet, p: CombustionParams, species=False,
+                     f_bc=None):
     """Species/temperature BCs (reference Boundaries_Comp /
     Boundaries_Temp_Reaktion, :2092-2360): zero-gradient anti-bounce-back at
     y=1 and y=ny−2, Dirichlet at x=1, zero-gradient at the outlet column.
-    (The reference's species outlet *corner* equilibrium fix is folded into
-    the plain zero-gradient here; the corners sit inside wall rows whose
-    values feed nothing downstream but the corner cells themselves.)"""
+
+    Order fidelity (the reference applies BCs per cell inside the fused
+    functor, ascending ``i = y + ny·x``, so column x−1 cells are BC-fixed
+    before column x reads them):
+
+    * the top-row extrapolation at x=1 reads the inlet-FIXED rows ny−3/ny−4
+      of column 1, and at x=nx−1 the outlet-FIXED rows of column nx−1
+      (:2102-2116 reading :2143-2156 / :2163-2181 outputs);
+    * for species (``species=True``) the outlet zero-gradient excludes rows
+      1 and ny−2 (:2162) which instead get the corner equilibrium scheme
+      (:2185-2232 bottom, :2236-2275 top) — the corner reads the flow
+      macro of the outlet-BC-fixed f (``f_bc``);
+    * the temperature outlet (:2330-2345) applies to every row, composing
+      with the top/bottom fixes at the corners."""
     ny, nx = g.shape[1:]
-    # top wall row ny−2: extrapolate from below (k 7,4,8 ← 5,2,6)
-    amp_top = (4.0 * macro_scalar(g)[ny - 3, :] - macro_scalar(g)[ny - 4, :]) / 3.0
+    # top wall row ny−2: extrapolate from below (k 7,4,8 ← 5,2,6).
+    m = macro_scalar(g)
+    amp_top = (4.0 * m[ny - 3, :] - m[ny - 4, :]) / 3.0
+    # x=1 override: rows ny−3/ny−4 of col 1 after their inlet Dirichlet fix
+    col1 = g[:, :, 1]
+    m1_fix = (m[:, 1]
+              + sum((-col1[k_out] + 2.0 * float(W[k_w]) * amp_inlet)
+                    - col1[k_in]
+                    for k_in, k_w, k_out in [(5, 7, 7), (1, 3, 3),
+                                             (8, 6, 6)]))
+    # x=nx−1 override: rows of col nx−1 after their outlet zero-gradient fix
+    amp_out = (4.0 * m[:, nx - 2] - m[:, nx - 3]) / 3.0
+    colo = g[:, :, nx - 1]
+    mo_fix = (m[:, nx - 1]
+              + sum((-colo[k_out] + 2.0 * float(W[k_w]) * amp_out)
+                    - colo[k_in]
+                    for k_in, k_w, k_out in [(6, 8, 8), (3, 1, 1),
+                                             (7, 5, 5)]))
+    amp_top = amp_top.at[1].set((4.0 * m1_fix[ny - 3] - m1_fix[ny - 4]) / 3.0)
+    amp_top = amp_top.at[nx - 1].set(
+        (4.0 * mo_fix[ny - 3] - mo_fix[ny - 4]) / 3.0)
     g = _abb_triplet(g, amp_top, ny - 2,
                      [(7, 7, 5), (4, 2, 2), (8, 6, 6)], 0)
     amp_bot = (4.0 * macro_scalar(g)[2, :] - macro_scalar(g)[3, :]) / 3.0
@@ -418,10 +449,53 @@ def apply_scalar_bcs(g, amp_inlet, p: CombustionParams):
     # inlet Dirichlet at x=1 (k 5,1,8 ← 7,3,6)
     g = _abb_triplet(g, amp_inlet, 1,
                      [(5, 7, 7), (1, 3, 3), (8, 6, 6)], 1)
-    # outlet zero-gradient at x=nx−1 (k 6,3,7 ← 8,1,5)
-    amp_out = (4.0 * macro_scalar(g)[:, nx - 2] - macro_scalar(g)[:, nx - 3]) / 3.0
-    g = _abb_triplet(g, amp_out, nx - 1,
-                     [(6, 8, 8), (3, 1, 1), (7, 5, 5)], 1)
+    # outlet zero-gradient at x=nx−1 (k 6,3,7 ← 8,1,5); species: interior
+    # rows only, corners get the equilibrium scheme below
+    out_rows = jnp.arange(ny)
+    out_sel = ((out_rows != 1) & (out_rows != ny - 2)) if species else \
+        jnp.ones(ny, bool)
+    for k_in, k_w, k_out in [(6, 8, 8), (3, 1, 1), (7, 5, 5)]:
+        val = -g[k_out, :, nx - 1] + 2.0 * float(W[k_w]) * amp_out
+        g = g.at[k_in, :, nx - 1].set(
+            jnp.where(out_sel, val, g[k_in, :, nx - 1]))
+    if species:
+        g = _species_outlet_corners(g, f_bc, p)
+    return g
+
+
+def _species_outlet_corners(g, f_bc, p: CombustionParams):
+    """Species outlet corner equilibrium scheme (reference Boundaries_Comp
+    :2185-2232 bottom / :2236-2275 top).  Reads the post-row-fix g (the
+    per-cell BC order top/bottom → corner) and the outlet-BC-fixed flow
+    ``f_bc`` for u; the nonequilibrium residual GC is spread over the five
+    rewritten populations."""
+    ny, nx = g.shape[1:]
+    for yc, eps_kin, geq_kin, wsum_k in (
+            (1, (0, 1, 4, 8), (2, 3, 5, 6, 7), (2, 3, 6, 5, 7)),
+            (ny - 2, (0, 1, 2, 5), (3, 4, 6, 7, 8), (3, 4, 6, 7, 8))):
+        colc = g[:, yc, nx - 1]
+        Yc = jnp.sum(colc, axis=0)              # own macro, post row fix
+        # extrapolation neighbours (nx−2, nx−3) read POST their own
+        # bottom/top row fix (they ran earlier in the reference's i-order)
+        Y1 = jnp.sum(g[:, yc, nx - 2], axis=0)
+        Y2 = jnp.sum(g[:, yc, nx - 3], axis=0)
+        Y_lok = (4.0 * Y1 - Y2) / 3.0
+        fc = f_bc[:, yc, nx - 1]
+        rl = jnp.sum(fc, axis=0)
+        cj = jnp.asarray(C, dtype=g.dtype)
+        uxl = jnp.sum(cj[:, 0] * fc) / rl
+        uyl = jnp.sum(cj[:, 1] * fc) / rl
+        usqr = 1.5 * (uxl * uxl + uyl * uyl)
+        geq = []
+        for k in range(Q):
+            cu = float(C[k, 0]) * uxl + float(C[k, 1]) * uyl
+            geq.append(Yc * float(W[k]) *
+                       (1.0 + 3.0 * cu + 4.5 * cu * cu - usqr))
+        eps = (sum(colc[k] for k in eps_kin)
+               + sum(geq[k] for k in geq_kin))
+        GC = (Y_lok - eps) / sum(float(W[k]) for k in wsum_k)
+        for k in geq_kin:
+            g = g.at[k, yc, nx - 1].set(geq[k] + float(W[k]) * GC)
     return g
 
 
@@ -638,6 +712,18 @@ def stream_temperature(post_gas, post_solid, gT_old, tab, p: CombustionParams):
         else:
             # GUO2015 / none: populations pass through the interface
             val = pulled
+        if p.topology == "inflow_outflow":
+            # streamTemp's inflow_outflow branch has NO wall bounce-back
+            # (:1852-1911 — every wall-neighbour case falls through to
+            # `gout_T(nb,k)=pop`, pushing INTO the inert wall cell), so a
+            # bulk cell's wall-originating T populations are never written
+            # by streaming: at BC time they hold the previous BC outputs.
+            # Keep this step's BC-fixed values there (one ping-pong
+            # generation newer than the reference's two-buffer delay; the
+            # next BC overwrites them before any dynamical use, so only
+            # dump-time macros see them — see PARITY.md).
+            up_wall = jnp.asarray(tab["nb_wall"][ko])
+            val = jnp.where(up_wall, gT_old[k], val)
         out.append(val)
         # store post-collision populations pointing across the interface
         sender_iface = ((is_bulk & jnp.asarray(tab["nb_obst"][k]))
@@ -663,8 +749,10 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
             f = apply_flow_outlet(f, p)
         if konv:
             if p.topology == "inflow_outflow":
-                gO2 = apply_scalar_bcs(gO2, p.Y_O2_inlet, p)
-                gCO2 = apply_scalar_bcs(gCO2, p.Y_CO2_inlet, p)
+                gO2 = apply_scalar_bcs(gO2, p.Y_O2_inlet, p, species=True,
+                                       f_bc=f)
+                gCO2 = apply_scalar_bcs(gCO2, p.Y_CO2_inlet, p, species=True,
+                                        f_bc=f)
                 gT = apply_scalar_bcs(gT, p.T_inlet, p)
             if p.scheme == "li2014" and not first_step:
                 gT = apply_conjugate_bc(gT, state.g_coll, tab, p)
@@ -845,6 +933,24 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
         else:
             gO2_2, gCO2_2, gT_2, g_coll = gO2, gCO2, gT, state.g_coll
             q_new = state.q_heat
+
+        if p.topology == "inflow_outflow":
+            # Reference ping-pong staleness at the outlet: the push stream
+            # never writes the west-pointing pops {3,6,7} of column nx−1
+            # (no east neighbour; stream :1693-1707 drops k=5,1,8 and
+            # nothing targets fout(nx−1, {3,6,7})), so at dump/BC time they
+            # hold the BC outputs of an EARLIER iteration, not streamed
+            # values.  Pin them to this step's BC outputs (one launch-step
+            # newer than the reference's two-buffer delay; the next BC
+            # overwrites them before any dynamical use except the corner
+            # macro — see PARITY.md).
+            wp = jnp.array([3, 6, 7])
+            blk = jnp.asarray(tab["is_bulk"])[None, :, -1]
+            f2, gO2_2, gCO2_2, gT_2 = (
+                arr2.at[wp, :, -1].set(
+                    jnp.where(blk, bc_arr[wp, :, -1], arr2[wp, :, -1]))
+                for arr2, bc_arr in ((f2, f), (gO2_2, gO2), (gCO2_2, gCO2),
+                                     (gT_2, gT)))
 
         return CombustionState(f2, gO2_2, gCO2_2, gT_2,
                                FO2_k, FCO2_k, FT_k, g_coll, q_new)

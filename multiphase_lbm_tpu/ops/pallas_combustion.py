@@ -235,7 +235,10 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
         m2r = _roll2(st3, 0, -2)
         ex3 = (4.0 * m1 - m2r) / 3.0
         rho, ux, uy = ex3[0], ex3[1], ex3[2]
-        usqr = ux * ux + uy * uy          # reference quirk: un-scaled u²
+        # equilibrium() expects the pre-scaled 1.5·u² (the reference and the
+        # XLA oracle both subtract 1.5·usqr in the outlet feq —
+        # CooLBM_MRT_combustion.cpp:2025, models/combustion.py:449).
+        usqr = 1.5 * (ux * ux + uy * uy)
         cu = cu_of(ux, uy)
         feq = equilibrium(rho, cu, usqr)
         f3 = feq[3] + 2.0 / 3.0 * rho * ux + 2.0 / 3.0 * (
@@ -278,11 +281,14 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
             f[k24] = jnp.where(mc, f24, f[k24])
         return jnp.stack(f)
 
-    def apply_scalar_bcs_all(gs, amps_inlet):
+    def apply_scalar_bcs_all(gs, amps_inlet, f_bc):
         """models.combustion.apply_scalar_bcs for all three scalar
         populations at once (amp rolls batched over a stacked sum array);
-        identical op order per population — the amps each read exactly
-        the rows/columns the XLA oracle reads at that point."""
+        identical op order per population.  Mirrors the oracle's
+        order-fidelity details: amp_top overrides at x=1 (inlet-fixed) and
+        x=nx−1 (outlet-fixed), species outlet excluding rows 1/ny−2, and
+        the species outlet corner equilibrium scheme (gs[0], gs[1]) with
+        u from the outlet-BC-fixed flow ``f_bc``."""
         gs = list(gs)
 
         gs = [[g[k] for k in range(Q)] for g in gs]
@@ -296,8 +302,29 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
         def sums():
             return jnp.stack([sum(g[1:], g[0]) for g in gs])
 
+        INP = [(5, 7, 7), (1, 3, 3), (8, 6, 6)]
+        OUTP = [(6, 8, 8), (3, 1, 1), (7, 5, 5)]
         s3 = sums()
         amp_top = (4.0 * _roll2(s3, -1, 0) - _roll2(s3, -2, 0)) / 3.0
+        amp_out = (4.0 * _roll2(s3, 0, -1) - _roll2(s3, 0, -2)) / 3.0
+        # x=1 / x=nx−1 overrides: rows ny−3/ny−4 read their column's
+        # inlet/outlet fix first (reference per-cell i-order)
+        m_in_fix = []
+        m_out_fix = []
+        for i in range(3):
+            g = gs[i]
+            din = sum((-g[k_out] + 2.0 * Wf[k_w] * amps_inlet[i]) - g[k_in]
+                      for k_in, k_w, k_out in INP)
+            dout = sum((-g[k_out] + 2.0 * Wf[k_w] * amp_out[i]) - g[k_in]
+                       for k_in, k_w, k_out in OUTP)
+            m_in_fix.append(s3[i] + din)
+            m_out_fix.append(s3[i] + dout)
+        mfix = jnp.stack(m_in_fix + m_out_fix)          # (6, ny, nx)
+        atop_fix = (4.0 * _roll2(mfix, -1, 0) - _roll2(mfix, -2, 0)) / 3.0
+        m_in = col_mask(1)
+        m_out = col_mask(nx - 1)
+        amp_top = jnp.where(m_in[None], atop_fix[:3], amp_top)
+        amp_top = jnp.where(m_out[None], atop_fix[3:], amp_top)
         m_top = row_mask(ny - 2)
         for i in range(3):
             gs[i] = triplet(gs[i], amp_top[i], m_top,
@@ -308,16 +335,38 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
         for i in range(3):
             gs[i] = triplet(gs[i], amp_bot[i], m_bot,
                             [(6, 8, 8), (2, 4, 4), (5, 7, 7)])
-        m_in = col_mask(1)
         for i in range(3):
             gs[i] = triplet(gs[i], amps_inlet[i], m_in,
                             [(5, 7, 7), (1, 3, 3), (8, 6, 6)])
-        s3 = sums()
-        amp_out = (4.0 * _roll2(s3, 0, -1) - _roll2(s3, 0, -2)) / 3.0
-        m_out = col_mask(nx - 1)
+        # outlet: species (i=0,1) exclude rows 1/ny−2 (corners below);
+        # temperature (i=2) all rows
+        rr = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+        no_corner = (rr != 1) & (rr != ny - 2)
         for i in range(3):
-            gs[i] = triplet(gs[i], amp_out[i], m_out,
-                            [(6, 8, 8), (3, 1, 1), (7, 5, 5)])
+            mask_i = m_out & no_corner if i < 2 else m_out
+            gs[i] = triplet(gs[i], amp_out[i], mask_i, OUTP)
+        # species outlet corner equilibrium (reference Boundaries_Comp
+        # :2185-2275); Y_lok extrapolates from post-row-fix neighbours
+        s2 = jnp.stack([sum(gs[i][1:], gs[i][0]) for i in range(2)])
+        Ylok2 = (4.0 * _roll2(s2, 0, -1) - _roll2(s2, 0, -2)) / 3.0
+        rho_c, ux_c, uy_c = macro_uv(f_bc)
+        usqr_c = 1.5 * (ux_c * ux_c + uy_c * uy_c)
+        cu_c = cu_of(ux_c, uy_c)
+        shape_c = 1.0 + 3.0 * cu_c + 4.5 * cu_c * cu_c - usqr_c[None]
+        for yc, eps_kin, geq_kin in (
+                (1, (0, 1, 4, 8), (2, 3, 5, 6, 7)),
+                (ny - 2, (0, 1, 2, 5), (3, 4, 6, 7, 8))):
+            mc = m_out & row_mask(yc)
+            tw = sum(Wf[k] for k in geq_kin)
+            for i in range(2):
+                g = gs[i]
+                Yc = s2[i]
+                geq = [Yc * Wf[k] * shape_c[k] for k in range(Q)]
+                eps = (sum(g[k] for k in eps_kin)
+                       + sum(geq[k] for k in geq_kin))
+                GC = (Ylok2[i] - eps) / tw
+                for k in geq_kin:
+                    g[k] = jnp.where(mc, geq[k] + Wf[k] * GC, g[k])
         return [jnp.stack(g) for g in gs]
 
     def grad_onesided(qs, m2):
@@ -352,7 +401,8 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
         f = apply_flow_outlet(f)
         if konv:
             gO2, gCO2, gT = apply_scalar_bcs_all(
-                (gO2, gCO2, gT), (p.Y_O2_inlet, p.Y_CO2_inlet, p.T_inlet))
+                (gO2, gCO2, gT), (p.Y_O2_inlet, p.Y_CO2_inlet, p.T_inlet),
+                f)
             if li2014:
                 # each opposite pair (k, ko) shares its two rolled g_coll
                 # arrays (8 rolls, not 16)
@@ -481,10 +531,23 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
                 newO2.append(vals[0])
                 newCO2.append(vals[1])
                 if li2014:
-                    newT.append(jnp.where(
-                        m9["iface"][k] > 0.5, gT[k], pulled[3]))
+                    valT = jnp.where(m9["iface"][k] > 0.5, gT[k], pulled[3])
                 else:
-                    newT.append(pulled[3])
+                    valT = pulled[3]
+                # streamTemp has NO wall bounce-back in inflow_outflow
+                # (:1852-1911): wall-originating T pops keep the BC-fixed
+                # values (mirrors models.combustion.stream_temperature)
+                newT.append(jnp.where(nb_wall_m, gT[k], valT))
+        # outlet ping-pong staleness: west-pointing pops of column nx−1
+        # are never written by the reference's push stream — keep this
+        # step's BC-fixed values (mirrors the oracle's outlet pin)
+        m_pin = col_mask(nx - 1) & is_bulk_m
+        for kp in (3, 6, 7):
+            newf[kp] = jnp.where(m_pin, f[kp], newf[kp])
+            if konv:
+                newO2[kp] = jnp.where(m_pin, gO2[kp], newO2[kp])
+                newCO2[kp] = jnp.where(m_pin, gCO2[kp], newCO2[kp])
+                newT[kp] = jnp.where(m_pin, gT[kp], newT[kp])
         newf = jnp.where(is_bulk_m[None], jnp.stack(newf), 0.0)
         if konv:
             newO2 = jnp.where(is_bulk_m[None], jnp.stack(newO2), 0.0)
@@ -502,10 +565,11 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
         m9 = {name: m9_r[i] for name, i in _M9.items()}
         m2 = {name: m2_r[i] for name, i in _M2.items()}
 
-        ins = (f_r, gO2_r, gCO2_r, gT_r, FO2_r, FCO2_r, FT_r, gcoll_r)
+        # the 8 state inputs are aliased onto the outputs
+        # (input_output_aliases in _make_call), so the output refs already
+        # hold the incoming state — no copy needed.
+        del f_r, gO2_r, gCO2_r, gT_r, FO2_r, FCO2_r, FT_r, gcoll_r
         outs = (of_r, oO2_r, oCO2_r, oT_r, oFO2_r, oFCO2_r, oFT_r, ogc_r)
-        for i_r, o_r in zip(ins, outs):
-            o_r[...] = i_r[...]
 
         # loop state lives in the output refs; the carry is a dummy scalar
         def body(_, tok):
@@ -528,6 +592,7 @@ def _make_call(p, ny, nx, konv, nsub, interpret):
         out_shape=(shape,) * 8,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 8,
+        input_output_aliases={i: i for i in range(8)},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,

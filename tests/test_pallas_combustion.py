@@ -50,6 +50,24 @@ def test_fused_matches_xla(small, prepped, konv):
                                    err_msg=name)
 
 
+def test_fused_matches_xla_fast_flow():
+    """Higher u_inlet makes outlet-BC equilibrium terms O(u²)-visible —
+    catches the un-scaled-usqr class of bug the default u_inlet=1.17e-4
+    case cannot (advisor round 2, pallas_combustion outlet feq)."""
+    p = cb.CombustionParams(nx=128, ny=48, u_inlet=0.05)
+    flags, _ = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p, flags=flags)
+    st = cb.run(st, p, 40, konv=False)
+    st32 = cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
+    ref = cb.run(st32, p, 5, konv=False)
+    out = pc.run_fused(st32, p, 5, konv=False, nsub=1, interpret=True)
+    sel = np.broadcast_to(tab["is_bulk"] | tab["is_obst"], ref.f.shape)
+    np.testing.assert_allclose(np.asarray(out.f)[sel],
+                               np.asarray(ref.f)[sel],
+                               rtol=2e-4, atol=5e-6)
+
+
 def test_fused_nsub_consistency(small):
     """nsub only changes the launch batching, not the math."""
     p, flags, f_solid, tab = small
