@@ -1,0 +1,601 @@
+"""Whole-step fused Pallas kernel for the pulsatile vessel — hydro AND
+geometry (v2, op-lean).
+
+One ``pallas_call`` advances ``nsub`` complete reference iterations
+(``PulsatileBloodFlow2D.h:764-791`` order: collide → Bouzidi → pull
+stream → Zou/He → macro → wall ODE → Fobj rebuild → reseed → macro
+fixups) with ALL state resident in VMEM across sub-steps
+(input_output_aliases).  This is the round-3 answer to the op-count
+problem that capped the XLA path at ~61 MLUPS.
+
+v1 of this kernel transliterated the XLA step shape-for-shape and
+measured 24 ms/step — 2-13 µs per memory-shaped Mosaic op (roll,
+where, reduce, ref slice; see CLAUDE.md's v5e op-cost model) across
+~2000 ops.  v2 restructures for op count:
+
+* **No x padding.** Arrays are (·, ny, nx) with nx=621 exactly, so
+  every ``pltpu.roll`` wraps at nx natively — identical to the XLA
+  oracle's ``jnp.roll`` semantics.  No pad/crop, no one-hot wrap
+  fix-ups, no ``dom`` masks (Mosaic handles non-128-multiple lane
+  dims; proven by the 420-wide combustion kernel).
+* **No stored F field.** The reference's implicit geometry
+  ``F[Y, X] = (yr_sel(X) − yc)/(Y − yc)`` (fobj_from_walls,
+  models/pulsatile.py:143-156) is an analytic function of the two
+  wall rows, so the kernel recomputes F wherever needed — the same
+  f32 division the oracle's materialized array performs, hence
+  bit-identical — and every border-Δ F *gather* collapses to
+  closed-form (1, nx) row arithmetic.  The (72, nx) F array, its
+  one-hot row gathers and its halo bookkeeping all disappear.
+  (gathF's halo-column reads are provably dead: the E/W conds mask
+  the first/last column, so no halo extrapolation is ever consulted.)
+* **Q-stacked state**: populations live in two (9, ny, nx) refs read
+  once per substep; collision is Q-vectorized with (9,1,1) constant
+  broadcasts and the low-rank MRT factorization; the macro sums are
+  computed once and re-masked for the post-geometry fixups.
+* **Bouzidi** keeps the oracle's two sequential wall passes (top-wall
+  links DO sample bottom-pass results in narrow passages) but stacks
+  (g_J, g_I) per link distance so each of the 10 slots costs 4 rolls
+  straight / 7 diagonal instead of 9, with slot-level ILP.
+* **Reseeding is gated** behind ``pl.when(any_fresh)`` — walls cross
+  a cell boundary on a minority of steps; the dense batched pass (and
+  its 12 stacked rolls) only runs then.  Order-DEPENDENT reseed steps
+  (fresh edge cell sourcing a fresh row, or a ring-search cell) are
+  filled with the same dense pass and COUNTED in the diag output
+  instead of being re-run sequentially — the wrapper exposes the
+  count so callers can quantify the deviation (full-run agreement is
+  statistical regardless, models/pulsatile.py:28-30).
+
+The XLA path (models/pulsatile.py) remains the bit-parity oracle for
+the golden tests; this kernel is the production/bench path, pinned by
+an interpreter-mode equivalence test on order-independent steps
+(tests/test_pallas_pulsatile_full.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.collision import MRT_M_I, MRT_M_I_INV
+from ..core.lattice import D2Q9, EX_I, EY_I, JB_I, K_FROM_I
+from ..models import pulsatile as pmod
+from ..models.pulsatile import PulsatileParams, PulsatileState
+
+Q = 9
+
+# Δ-slots (= I−1) each wall pass writes (the XLA border_deltas leaves the
+# other slots at the Δ=2 sentinel, so their I-directions are no-ops)
+BOTTOM_SLOTS = (0, 1, 2, 4, 5)      # I ∈ {1 E, 2 N, 3 W, 5 NE, 6 NW}
+TOP_SLOTS = (0, 2, 3, 6, 7)         # I ∈ {1 E, 3 W, 4 S, 7 SW, 8 SE}
+
+
+def _roll(a, dy, dx):
+    """Value at (y+dy, x+dx) on the trailing two axes, wrapping at the
+    TRUE array sizes (= the oracle's jnp.roll semantics)."""
+    nd = a.ndim
+    out = a
+    if dy:
+        out = pltpu.roll(out, (-dy) % a.shape[nd - 2], nd - 2)
+    if dx:
+        out = pltpu.roll(out, (-dx) % a.shape[nd - 1], nd - 1)
+    return out
+
+
+def _make_kernel(p: PulsatileParams, nsub: int, phases: int = 5):
+    ny, nx = p.ny, p.nx
+    f32 = jnp.float32
+    w = [float(x) for x in D2Q9.w]
+    cf = [(float(D2Q9.c[k][0]), float(D2Q9.c[k][1])) for k in range(Q)]
+    ci = [(int(D2Q9.c[k][0]), int(D2Q9.c[k][1])) for k in range(Q)]
+    rho0 = float(p.rho0)
+    kf = [int(K_FROM_I[i]) for i in range(9)]
+    S = p.S
+    act = [(j, float(S[j] - 1.0)) for j in range(9) if S[j] != 1.0]
+    Mrows = {j: [float(x) for x in MRT_M_I[j]] for j, _ in act}
+    Micol = {j: [float(x) for x in MRT_M_I_INV[:, j]] for j, _ in act}
+    y0 = float(p.y0)
+    yc = float(p.yc)
+    alpha = float(p.alpha)
+
+    def kernel(aux_ref,
+               gc_i, gs_i, mac_i, y1_i, y2_i, dg_i,
+               gc_r, gs_r, mac_r, y1_r, y2_r, dg_r):
+        del gc_i, gs_i, mac_i, y1_i, y2_i, dg_i          # aliased
+
+        def const9(vals):
+            k_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, 1, 1), 0)
+            out = jnp.zeros((Q, 1, 1), f32)
+            for i, v in enumerate(vals):
+                if float(v) != 0.0:
+                    out = jnp.where(k_idx == i, jnp.float32(v), out)
+            return out
+
+        W3 = const9(w)
+        CX3 = const9([c[0] for c in cf])
+        CY3 = const9([c[1] for c in cf])
+        colv = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1).astype(f32)
+        rowv = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0).astype(f32)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, nx), 1).astype(f32)
+        first = lane1 == 0.0                              # (1, nx)
+        last = lane1 == float(nx - 1)
+        col0 = colv == 0.0                                # (ny, nx)
+        colL = colv == float(nx - 1)
+        below = rowv <= y0                                # Y ≤ Y0 branch
+        inv_den = 1.0 / (rowv - yc)                       # 1/(Y − yc)
+        t0 = aux_ref[0, 0]
+
+        def F_at_row(yr1, yr2, Yrow):
+            """F[Yrow+1, X+1] closed form for a (1, nx) row of Y values:
+            the same f32 division the oracle's F array performs."""
+            ysel = jnp.where(Yrow <= y0, yr1, yr2)
+            return (ysel - yc) / (Yrow - yc)
+
+        def F_field(yr1, yr2):
+            """Interior F(Y, X) for all cells (fobj_from_walls body)."""
+            ysel = jnp.where(below, jnp.broadcast_to(yr1, (ny, nx)),
+                             jnp.broadcast_to(yr2, (ny, nx)))
+            return (ysel - yc) * inv_den
+
+        def substep(it):
+            t = t0 + it.astype(f32)
+            yr1 = y1_r[...]                               # (1, nx)
+            yr2 = y2_r[...]
+            Ffld = F_field(yr1, yr2)
+            fl = (Ffld >= 1.0).astype(f32)
+            mac = mac_r[...]
+            P, Ux, Uy = mac[0], mac[1], mac[2]
+
+            # ── border Δ extraction (border_deltas) ──
+            # All row math on (1, nx); gathF collapses to F_at_row on
+            # x-rolled wall rows (rolls wrap at nx = oracle jnp.roll).
+            if phases >= 2:
+                yr1s_w, yr2s_w = _roll(yr1, 0, -1), _roll(yr2, 0, -1)
+                yr1s_e, yr2s_e = _roll(yr1, 0, 1), _roll(yr2, 0, 1)
+
+            def one_wall(yr, yr_w, yr_e, bottom):
+                def gathF(xoff, Yrow):
+                    if xoff == 1:
+                        return F_at_row(yr1s_e, yr2s_e, Yrow)
+                    if xoff == -1:
+                        return F_at_row(yr1s_w, yr2s_w, Yrow)
+                    return F_at_row(yr1, yr2, Yrow)
+
+                if bottom:
+                    Yx0 = jnp.floor(yr)
+                    fl0 = gathF(0, Yx0) >= 1.0
+                    Yx = jnp.where(fl0, Yx0 - 1.0, Yx0)
+                else:
+                    Yx0 = jnp.ceil(yr)
+                    fl0 = gathF(0, Yx0) >= 1.0
+                    Yx = jnp.where(fl0, Yx0 + 1.0, Yx0)
+                Yx = jnp.clip(Yx, 0.0, float(ny - 1))
+
+                slope_e = yr_e - yr
+                slope_w = yr - yr_w
+                dist = yr - Yx
+
+                int_e = ~last
+                int_w = ~first
+                main = rowv == Yx             # (ny, nx) one-hot rows
+
+                def fd(mA, mB, Y1):
+                    return jnp.maximum(0.0, 1.0 - jnp.abs(Y1 / (mA - mB)))
+
+                D = {}
+
+                def setD(slot, cond_cols, val_cols):
+                    D[slot] = jnp.where(main & cond_cols, val_cols, 2.0)
+
+                if bottom:
+                    setD(0, int_e & (gathF(1, Yx) >= 1.0),
+                         fd(0.0, slope_e, dist))
+                    setD(1, lane1 >= 0.0, 1.0 - dist)
+                    setD(2, int_w & (gathF(-1, Yx) >= 1.0),
+                         fd(0.0, slope_w, dist))
+                    setD(4, int_e & (gathF(1, Yx + 1.0) >= 1.0),
+                         fd(1.0, slope_e, dist))
+                    setD(5, int_w & (gathF(-1, Yx + 1.0) >= 1.0),
+                         fd(-1.0, slope_w, dist))
+                else:
+                    setD(0, int_e & (gathF(1, Yx) >= 1.0),
+                         fd(0.0, slope_e, dist))
+                    setD(2, int_w & (gathF(-1, Yx) >= 1.0),
+                         fd(0.0, slope_w, dist))
+                    setD(3, lane1 >= 0.0, 1.0 - (Yx - yr))
+                    setD(6, int_w & (gathF(-1, Yx - 1.0) >= 1.0),
+                         fd(1.0, slope_w, dist))
+                    setD(7, int_e & (gathF(1, Yx - 1.0) >= 1.0),
+                         fd(-1.0, slope_e, dist))
+
+                # jump nodes between columns X−1 and X
+                Y_prev = _roll(Yx, 0, -1)
+                changed = (Yx != Y_prev) & (~first)
+                if bottom:
+                    up = changed & (Yx > Y_prev)
+                    dn = changed & (Yx < Y_prev)
+                    val_up = fd(-1.0, slope_w, yr - Y_prev)
+                    val_dn = fd(1.0, slope_w, yr_w - Yx)
+                    m_up = (rowv == Y_prev) & up
+                    D[5] = jnp.where(m_up, val_up, D[5])
+                    dn_l = _roll(dn.astype(f32), 0, 1) > 0.5
+                    val_dn_l = _roll(val_dn, 0, 1)
+                    Yx_l = _roll(Yx, 0, 1)
+                    m_dn = (rowv == Yx_l) & dn_l
+                    D[4] = jnp.where(m_dn, val_dn_l, D[4])
+                else:
+                    up = changed & (Yx > Y_prev)
+                    dn = changed & (Yx < Y_prev)
+                    val_up = fd(-1.0, slope_w, yr_w - Yx)
+                    val_dn = fd(1.0, slope_w, yr - Y_prev)
+                    up_l = _roll(up.astype(f32), 0, 1) > 0.5
+                    val_up_l = _roll(val_up, 0, 1)
+                    Yx_l = _roll(Yx, 0, 1)
+                    m_up = (rowv == Yx_l) & up_l
+                    D[7] = jnp.where(m_up, val_up_l, D[7])
+                    m_dn = (rowv == Y_prev) & dn
+                    D[6] = jnp.where(m_dn, val_dn, D[6])
+                return D
+
+            if phases >= 2:
+                D1 = one_wall(yr1, yr1s_w, yr1s_e, True)
+                D2 = one_wall(yr2, yr2s_w, yr2s_e, False)
+
+            # ── collide (pressure-form equilibrium + low-rank MRT) ──
+            gc = gc_r[...]                                # (9, ny, nx)
+            gs = gs_r[...]
+            usqr = 1.5 * (Ux * Ux + Uy * Uy)
+            cu = CX3 * Ux[None] + CY3 * Uy[None]
+            geq = W3 * (P[None] + (rho0 / 3.0)
+                        * (cu * (3.0 + 4.5 * cu) - usqr[None]))
+            dneq = gc - geq
+            post = geq
+            for j, sj1 in act:
+                mom = jnp.sum(const9(Mrows[j]) * dneq, axis=0)
+                post = post - const9(
+                    [sj1 * Micol[j][k] for k in range(Q)]) * mom[None]
+            gout = jnp.where((fl > 0.5)[None], post, gs)
+
+            # ── Bouzidi: bottom pass then top pass (sequential: top-wall
+            # links sample bottom-pass results in narrow passages) ──
+            def bouzidi_pass(gv, D, slots):
+                """gv: (9, ny, nx); returns per-k list with writes."""
+                new = [gv[k] for k in range(Q)]
+                for slot in slots:
+                    I = slot + 1
+                    Df = D[slot]
+                    ex, ey = int(EX_I[I]), int(EY_I[I])
+                    kI = kf[I]
+                    kJ = kf[int(JB_I[I])]
+
+                    def inDom(m):
+                        xm = colv + float(m * ex)
+                        ym = rowv + float(m * ey)
+                        return ((xm >= 0.0) & (xm < float(nx))
+                                & (ym >= 0.0) & (ym < float(ny)))
+
+                    in1, in2, in3 = inDom(1), inDom(2), inDom(3)
+                    activ = (Df < 1.0) & in1
+
+                    st = jnp.stack([gv[kJ], gv[kI]])
+                    s1 = _roll(st, ey, ex)
+                    s2 = _roll(st, 2 * ey, 2 * ex)
+                    gJ1, gI1 = s1[0], s1[1]
+                    gJ2, gI2 = s2[0], s2[1]
+                    gJ3 = _roll(gv[kJ], 3 * ey, 3 * ex)
+                    # F at the sample points: closed form (wrapped x
+                    # values only reach masked-off lanes, like the
+                    # oracle's rolled F planes)
+                    yr1m = _roll(yr1, 0, ex) if ex else yr1
+                    yr2m = _roll(yr2, 0, ex) if ex else yr2
+                    yr1m2 = _roll(yr1, 0, 2 * ex) if ex else yr1
+                    yr2m2 = _roll(yr2, 0, 2 * ex) if ex else yr2
+                    yr1m3 = _roll(yr1, 0, 3 * ex) if ex else yr1
+                    yr2m3 = _roll(yr2, 0, 3 * ex) if ex else yr2
+
+                    def F_shift(yra, yrb, m):
+                        ysel = jnp.where((rowv + float(m * ey)) <= y0,
+                                         jnp.broadcast_to(yra, (ny, nx)),
+                                         jnp.broadcast_to(yrb, (ny, nx)))
+                        return (ysel - yc) / (rowv + float(m * ey) - yc)
+
+                    F1 = F_shift(yr1m, yr2m, 1)
+                    F2 = F_shift(yr1m2, yr2m2, 2)
+                    F3 = F_shift(yr1m3, yr2m3, 3)
+
+                    F2_eff = jnp.where(in2, F2, F1)
+                    use1for2 = (~in2) | (F2_eff < 1.0)
+                    gJ2 = jnp.where(use1for2, gJ1, gJ2)
+                    gI2 = jnp.where(use1for2, gI1, gI2)
+                    F3_eff = jnp.where(in3, F3, F1)
+                    gJ3 = jnp.where(in3, gJ3, gJ1)
+                    gJ3 = jnp.where(F3_eff < 1.0, gJ2, gJ3)
+
+                    lt = (gJ1 * (1 + 2 * Df) * Df
+                          + gJ2 * (1 - 2 * Df) * (1 + 2 * Df)
+                          - gJ3 * (1 - 2 * Df) * Df)
+                    ge = (gJ1 - gI1 * (1 - 2 * Df) * (1 + 2 * Df)
+                          + gI2 * (1 - 2 * Df) * Df) / (
+                              Df * (1 + 2 * Df) + 1e-30)
+                    val = jnp.where(Df < 0.5, lt, ge)
+                    new[kI] = jnp.where(activ, val, new[kI])
+                return jnp.stack(new)
+
+            if phases >= 2:
+                # y rolls of F_shift wrap at ny like the oracle's
+                # _shift_xy; the wrapped rows are masked by inDom.
+                gout = bouzidi_pass(gout, D1, BOTTOM_SLOTS)
+                gout = bouzidi_pass(gout, D2, TOP_SLOTS)
+
+            # ── pull streaming (x wraps at nx natively) ──
+            g2 = [None] * Q
+            for k in range(Q):
+                cx, cy = ci[k]
+                g2[k] = _roll(gout[k], -cy, -cx)
+
+            # ── Zou/He pressure inlet/outlet ──
+            # Row-range masks computed per column from the wall rows and
+            # ANDed with the edge column — no scalar extraction needed.
+            Pin = jnp.where(
+                t >= float(p.t_start),
+                float(p.pin) + float(p.p_osc) * jnp.sin(
+                    float(p.omega) * (t + 1.0 - float(p.t_start))),
+                float(p.pin))
+            Pout = jnp.where(
+                t >= float(p.t_start + p.t_propagation),
+                float(p.pout) + float(p.p_osc) * jnp.sin(
+                    float(p.omega)
+                    * (t + 1.0 - float(p.t_start + p.t_propagation))),
+                float(p.pout))
+            if p.is_severed:
+                Pout = jnp.where(t > float(p.t_sever), 0.0, Pout)
+            ylo = jnp.maximum(jnp.ceil(yr1 - 0.01), 0.0)
+            yhi = jnp.minimum(jnp.floor(yr2 + 0.01), float(ny - 1))
+            in_range = (rowv >= ylo) & (rowv <= yhi)
+            m_in = in_range & col0
+            m_out = in_range & colL
+
+            a0, a2, a3 = g2[kf[0]], g2[kf[2]], g2[kf[3]]
+            a4, a6, a7 = g2[kf[4]], g2[kf[6]], g2[kf[7]]
+            Uin = (Pin - a0 - a2 - 2 * a3 - a4 - 2 * a6 - 2 * a7) \
+                * 3.0 / rho0
+            g2[kf[1]] = jnp.where(m_in, a3 + 2.0 * rho0 / 9.0 * Uin,
+                                  g2[kf[1]])
+            g2[kf[5]] = jnp.where(
+                m_in, rho0 / 18.0 * Uin - 0.5 * (a2 - a4) + a7, g2[kf[5]])
+            g2[kf[8]] = jnp.where(
+                m_in, rho0 / 18.0 * Uin + 0.5 * (a2 - a4) + a6, g2[kf[8]])
+
+            h0, h1, h2 = g2[kf[0]], g2[kf[1]], g2[kf[2]]
+            h4, h5, h8 = g2[kf[4]], g2[kf[5]], g2[kf[8]]
+            Uout = (h0 + 2 * h1 + h2 + h4 + 2 * h5 + 2 * h8
+                    - Pout) * 3.0 / rho0
+            g2[kf[3]] = jnp.where(m_out, h1 - 2.0 * rho0 / 9.0 * Uout,
+                                  g2[kf[3]])
+            g2[kf[6]] = jnp.where(
+                m_out, -rho0 / 18.0 * Uout - 0.5 * (h2 - h4) + h8,
+                g2[kf[6]])
+            g2[kf[7]] = jnp.where(
+                m_out, -rho0 / 18.0 * Uout + 0.5 * (h2 - h4) + h5,
+                g2[kf[7]])
+            g2 = jnp.stack(g2)
+
+            # ── macroscopic sums, computed once and re-masked later ──
+            # (reference momentum quirk: k=0 (the W pop) is excluded)
+            def raw_sums(gst):
+                Ps = jnp.sum(gst, axis=0)
+                mx = None
+                my = None
+                for k in range(1, Q):
+                    cx, cy = cf[k]
+                    if cx:
+                        mx = cx * gst[k] if mx is None else mx + cx * gst[k]
+                    if cy:
+                        my = cy * gst[k] if my is None else my + cy * gst[k]
+                return Ps, 3.0 * mx / rho0, 3.0 * my / rho0
+
+            SP, SUx, SUy = raw_sums(g2)
+            P1, Ux1, Uy1 = SP * fl, SUx * fl, SUy * fl
+            if phases < 3:       # hydro-only bisection mode
+                gc_r[...] = gout
+                gs_r[...] = g2
+                mac_r[...] = jnp.stack([P1, Ux1, Uy1])
+                return
+
+            # ── wall ODE (move_walls): P sampled at rows y0, y0+1 ──
+            oh_y0 = (rowv == y0).astype(f32)
+            oh_y1 = (rowv == y0 + 1.0).astype(f32)
+            Ps1 = jnp.sum(P1 * oh_y0, axis=0, keepdims=True)
+            Ps2 = jnp.sum(P1 * oh_y1, axis=0, keepdims=True)
+            d1w = jnp.clip((0.5 - (Ps1 - float(p.p_tissue)) / alpha) - yr1,
+                           -0.25, 0.25)
+            d2w = jnp.clip(((float(ny - 1) - 0.5)
+                            + (Ps2 - float(p.p_tissue)) / alpha) - yr2,
+                           -0.25, 0.25)
+            yr1n = yr1 + d1w
+            yr2n = yr2 + d2w
+
+            # ── new geometry (analytic) + fresh/killed detection ──
+            Ffld_new = F_field(yr1n, yr2n)
+            fl_new = (Ffld_new >= 1.0).astype(f32)
+            if phases < 4:       # bisection mode: stop before reseed
+                gc_r[...] = gout
+                gs_r[...] = g2
+                mac_r[...] = jnp.stack([P1, Ux1, Uy1])
+                y1_r[...] = yr1n
+                y2_r[...] = yr2n
+                return
+            fresh = (Ffld < 1.0) & (Ffld_new >= 1.0) & (fl_new > 0.5)
+            fresh_f = fresh.astype(f32)
+            n_fresh = jnp.sum(fresh_f)
+
+            # default (no fresh cells): re-mask the existing sums with the
+            # new fluid map and hold killed cells at their last values
+            killed = (fl > 0.5) & (fl_new <= 0.5)
+            P2 = jnp.where(killed, P1, SP * fl_new)
+            Ux2 = jnp.where(killed, Ux1, SUx * fl_new)
+            Uy2 = jnp.where(killed, Uy1, SUy * fl_new)
+
+            gc_r[...] = gout
+            gs_r[...] = g2
+            mac_r[...] = jnp.stack([P2, Ux2, Uy2])
+            y1_r[...] = yr1n
+            y2_r[...] = yr2n
+
+            # ── dense batched reseed, only on fresh-cell steps ──
+            @pl.when(n_fresh > 0.0)
+            def _reseed():
+                row_top = rowv == float(ny - 1)
+                row_bot = rowv == 0.0
+                # Ffrac = max(trunc(F_old), 0) — trunc == floor after the
+                # clamp for this field's value range
+                Ffrac = jnp.maximum(jnp.floor(Ffld), 0.0)
+                stack = jnp.concatenate(
+                    [g2, Ffrac[None], fresh_f[None]], axis=0)
+                sum_frac_d = Ffrac          # center term (0 at fresh cells)
+                acc_d = [g2[k] * Ffrac for k in range(Q)]
+                rolled = {}
+                for jj in range(3):
+                    for ii in range(3):
+                        ex, ey = ii - 1, jj - 1
+                        if ex == 0 and ey == 0:
+                            rolled[(0, 0)] = stack
+                            continue
+                        nb = _roll(stack, ey, ex)
+                        # oracle zero-padded-window semantics at the y
+                        # edges (x wrap feeds only edge columns, which
+                        # take the row-copy fill below)
+                        if ey == 1:
+                            nb = jnp.where(row_bot[None], 0.0, nb)
+                        elif ey == -1:
+                            nb = jnp.where(row_top[None], 0.0, nb)
+                        rolled[(ex, ey)] = nb
+                        Fnb = nb[9]
+                        sum_frac_d = sum_frac_d + Fnb
+                        for k in range(Q):
+                            acc_d[k] = acc_d[k] + nb[k] * Fnb
+                inv_sf = 1.0 / jnp.maximum(sum_frac_d, 1e-30)
+                by_k = [None] * Q
+                for I in range(9):
+                    exi, eyi = int(EX_I[I]), int(EY_I[I])
+                    kI = int(K_FROM_I[I])
+                    need = rolled[(-exi, -eyi)][9] != 1.0
+                    by_k[kI] = jnp.where(need, acc_d[kI] * inv_sf, g2[kI])
+                is_edge = col0 | colL
+                blw = rowv < y0
+                # order-dependence detector (matches the XLA dispatch):
+                # an edge fresh cell sourcing a fresh row, or an interior
+                # cell with no old-fluid neighbour (ring-search case)
+                dep_edge_f = jnp.where(blw, rolled[(0, 1)][10],
+                                       rolled[(0, -1)][10])
+                dep_sel = jnp.where(is_edge, dep_edge_f,
+                                    (sum_frac_d == 0.0).astype(f32))
+                any_dep = jnp.max(fresh_f * dep_sel)
+                gnew = [None] * Q
+                for k in range(Q):
+                    edge_val = jnp.where(blw, rolled[(0, 1)][k],
+                                         rolled[(0, -1)][k])
+                    val = jnp.where(is_edge, edge_val, by_k[k])
+                    gnew[k] = jnp.where(fresh, val, g2[k])
+                gnew = jnp.stack(gnew)
+
+                # macro fixups over the reseeded populations
+                SPn, SUxn, SUyn = raw_sums(gnew)
+                Pn = jnp.where(killed, P1, SPn * fl_new)
+                Uxn = jnp.where(killed, Ux1, SUxn * fl_new)
+                Uyn = jnp.where(killed, Uy1, SUyn * fl_new)
+                # fresh cells get the FULL first moment (the reference
+                # fresh sweep includes the k=0 pop the regular sweep
+                # skips): full_mx = quirk_mx − 3·g₀/ρ₀  (c₀ = (−1, 0))
+                full_mx = SUxn - 3.0 * gnew[0] / rho0
+                Uxn = jnp.where(fresh, full_mx, Uxn)
+                Uyn = jnp.where(fresh, SUyn, Uyn)
+                gs_r[...] = gnew
+                mac_r[...] = jnp.stack([Pn, Uxn, Uyn])
+                dgi = jax.lax.broadcasted_iota(jnp.int32, (8, nx), 0)
+                onec = (jax.lax.broadcasted_iota(
+                    jnp.int32, (8, nx), 1) == 0).astype(f32)
+                dg_r[...] = dg_r[...] + jnp.where(
+                    dgi == 0, any_dep,
+                    jnp.where(dgi == 1, n_fresh, 0.0)) * onec
+
+        def body(i, tok):
+            substep(i)
+            return tok
+
+        jax.lax.fori_loop(0, nsub, body, 0)
+
+    return kernel
+
+
+def _make_call(p: PulsatileParams, nsub, interpret, phases=5):
+    ny, nx = p.ny, p.nx
+    kernel = _make_kernel(p, nsub, phases)
+    pop = jax.ShapeDtypeStruct((Q, ny, nx), jnp.float32)
+    mac = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
+    row = jax.ShapeDtypeStruct((1, nx), jnp.float32)
+    dg = jax.ShapeDtypeStruct((8, nx), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(pop, pop, mac, row, row, dg),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 6,
+        input_output_aliases={i + 1: i for i in range(6)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def pack_state(state: PulsatileState, p: PulsatileParams):
+    f32 = jnp.float32
+    return (
+        state.g_coll.astype(f32),
+        state.g_stream.astype(f32),
+        jnp.stack([state.P.astype(f32), state.Ux.astype(f32),
+                   state.Uy.astype(f32)]),
+        state.yr1.astype(f32)[None, :],
+        state.yr2.astype(f32)[None, :],
+        jnp.zeros((8, p.nx), f32),
+    )
+
+
+def unpack_state(bufs, p: PulsatileParams):
+    gc, gs, mac, y1, y2, dg = bufs
+    yr1, yr2 = y1[0], y2[0]
+    F = pmod.fobj_from_walls(yr1, yr2, p)
+    fluid = F[1:-1, 1:-1] >= 1.0
+    return PulsatileState(
+        g_coll=gc, g_stream=gs, yr1=yr1, yr2=yr2,
+        P=mac[0], Ux=mac[1], Uy=mac[2], F=F, fluid=fluid), dg
+
+
+@partial(jax.jit, static_argnames=("p", "n_steps", "nsub", "interpret",
+                                   "phases"))
+def run_fused_full(state: PulsatileState, t0, p: PulsatileParams,
+                   n_steps: int, nsub: int = 8, interpret: bool = False,
+                   phases: int = 5):
+    """Advance ``n_steps`` with the whole-step kernel (f32).  Returns
+    (state, diag) where diag[0,0] counts order-dependent reseed steps
+    (filled densely instead of sequentially — see module docstring) and
+    diag[1,0] the total number of reseeded cells."""
+    bufs = pack_state(state, p)
+    call = _make_call(p, nsub, interpret, phases)
+
+    def body(carry, i):
+        bufs = carry
+        aux = jnp.reshape(
+            (jnp.asarray(t0, jnp.float32) + i.astype(jnp.float32)
+             * float(nsub)), (1, 1))
+        return call(aux, *bufs), None
+
+    bufs, _ = jax.lax.scan(body, bufs, jnp.arange(n_steps // nsub))
+    rem = n_steps % nsub
+    if rem:
+        aux = jnp.reshape(jnp.asarray(
+            t0 + (n_steps // nsub) * nsub, jnp.float32), (1, 1))
+        bufs = _make_call(p, rem, interpret, phases)(aux, *bufs)
+    return unpack_state(bufs, p)

@@ -1,0 +1,141 @@
+"""Standalone multi-chip fused-kernel checks, runnable in a fresh process.
+
+The XLA *CPU* compiler can overflow its native stack when a large
+interpret-mode Pallas graph nested in shard_map is compiled late in a
+long pytest process (hundreds of accumulated executables).  Running each
+big multi-chip compile in its own process removes that failure mode
+entirely AND lets the wide-exchange check use the production nsub=5
+(round 2 had to pin nsub=3 in-process).
+
+Each subcommand builds an n-device virtual CPU mesh, runs the fused
+multi-chip path against the single-device oracle, and exits 0/1.  Used
+by tests/test_sharding.py (via subprocess) and by
+``__graft_entry__.dryrun_multichip`` (inline — the driver gate is
+already a fresh process).
+
+Reference obligation: SURVEY §5.8 (lattice decomposition over the
+device mesh is the TPU-native equivalent of the reference's
+shared-memory parallelism).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _force_cpu(n_devices: int):
+    if "xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def check_hcz_wide(n_devices: int = 4, nsub: int = 5) -> None:
+    """Production-nsub multi-chip HCZ: the reach·nsub-parameterized halo
+    exchange (width 5·nsub rows per launch) vs single-device stepping."""
+    _force_cpu(max(n_devices, 4))
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import hcz
+    from ..ops import pallas_hcz
+    from ..parallel import sharding as sh
+
+    p = hcz.HCZParams()
+    nx, ny = 64, 32 * n_devices
+    state = hcz.init_rayleigh_taylor(nx, ny, p, dtype=jnp.float32)
+    fluid = hcz.geometry_channel(nx, ny)
+    state = hcz.apply_geometry(state, fluid)
+    f, g = state
+    m32 = fluid.astype(jnp.float32)
+
+    ref_f, ref_g = pallas_hcz.run_fused(f, g, m32, p, nsub, tile=8,
+                                        interpret=True, nsub=1)
+
+    mesh = sh.make_mesh(n_devices, axis_names=("y",))
+    step = sh.make_fused_hcz_step(mesh, p, tile=8, interpret=True,
+                                  nsub=nsub)
+    out_f, out_g = step(f, g, m32)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               rtol=2e-5, atol=1e-6)
+    print(f"hcz_wide(n={n_devices}, nsub={nsub}): OK")
+
+
+def check_hcz3d(n_devices: int = 4) -> None:
+    _force_cpu(n_devices)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import hcz
+    from ..parallel import sharding as sh
+
+    p = hcz.HCZParams(omega=1.0, gravity=0.0, kappa=0.01)
+    f, g = hcz.init_droplet_3d(16, 16, 8 * n_devices, p, radius=5.0,
+                               dtype=jnp.float32)
+    fluid = jnp.ones((8 * n_devices, 16, 16), bool)
+    ref = (f, g)
+    for _ in range(2):
+        ref = hcz.step_3d(ref, fluid, p)
+
+    mesh = sh.make_mesh(n_devices, axis_names=("z",))
+    step = sh.make_fused_hcz3d_step(mesh, p, tile=8, interpret=True, nsub=2)
+    out_f, out_g = step(f, g)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref[0]),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref[1]),
+                               rtol=2e-5, atol=1e-6)
+    print(f"hcz3d(n={n_devices}): OK")
+
+
+def check_fakhari(n_devices: int = 4) -> None:
+    _force_cpu(n_devices)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import fakhari as fk
+    from ..parallel import sharding as sh
+
+    p = fk.FakhariParams()
+    nx, ny = 64, 32 * n_devices
+    h, g, u = fk.init_bubble(nx, ny, p, dtype=jnp.float32)
+    ref = (h, g, u)
+    for _ in range(2):
+        ref = fk.step(ref, p)
+
+    mesh = sh.make_mesh(n_devices, axis_names=("y",))
+    step = sh.make_fused_fakhari_step(mesh, p, tile=16, interpret=True,
+                                      nsub=2)
+    out = step(h, g, u)
+    for a, b, name in zip(out, ref, ("h", "g", "u")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+    print(f"fakhari(n={n_devices}): OK")
+
+
+CHECKS = {
+    "hcz_wide": check_hcz_wide,
+    "hcz3d": check_hcz3d,
+    "fakhari": check_fakhari,
+}
+
+
+def main(argv):
+    name = argv[0]
+    kwargs = {}
+    for a in argv[1:]:
+        k, v = a.split("=")
+        kwargs[k] = int(v)
+    CHECKS[name](**kwargs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
