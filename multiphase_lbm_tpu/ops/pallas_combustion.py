@@ -33,7 +33,17 @@ all four populations (0.07 ms/step) and 505.5 flow-only, vs the XLA
 path's 153.8 / 367.4 — 2.9× on the full physics.  (An earlier
 chip-contended reading suggested the kernel was no faster than XLA; it
 is.)  The whole-lattice-in-VMEM layout OOMs beyond ~60k cells (840×160
-needs 179 MB); the runner auto-selects XLA there (416 MLUPS konv).
+needs 179 MB); there the y-STRIPED variant of the same step body takes
+over (``stripe_tile`` in :func:`run_fused`): grid programs DMA
+halo-extended stripes of the state and static masks, lane-padded to a
+128 multiple (Mosaic DMA lane alignment — the pads are inert, see
+:func:`_make_body`).  Measured 840×160 konv (round 3, serial chip):
+**563.6 MLUPS** at tile=40/halo=16/nsub=4 (447.5 at halo=8/nsub=2) vs
+416 XLA.  The striped step is op-count-bound — per-step cost ≈
+n_stripes × a near-fixed substep cost (~44 µs regardless of stripe
+height) — so fewer/taller stripes win, but tile=80 (2 stripes, 71 MB
+of DMA buffers) exceeds VMEM; tile=40 (4 stripes) is the
+hardware-feasible optimum.
 """
 from __future__ import annotations
 
@@ -142,8 +152,24 @@ _M9 = dict(nb_obst=0, nb_wall=1, ck_n=2, fs_at=3, iface=4, sender_iface=5,
 _M2 = dict(is_bulk=0, is_obst=1, s_n=2, s_s=3, s_e=4, s_w=5)
 
 
-def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
-                 nsub: int):
+def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
+               nx_arr: int | None = None):
+    """Build (init_consts, step) closures for one combustion step on a
+    block of ``H`` rows whose row 0 is global row ``row0`` (H=ny, row0=0
+    recovers the whole-lattice kernel; the striped kernel passes
+    halo-extended blocks with per-stripe offsets).  All row-indexed BC
+    masks compare GLOBAL row numbers, so stripes that don't contain a BC
+    row compile the write to a no-op select.
+
+    ``nx_arr`` > nx lane-pads the arrays to a 128 multiple (Mosaic DMA
+    lane-alignment, striped path only).  The pad columns are inert: x=0
+    is a WALL column and the outlet pin overwrites every wrap-consuming
+    population at x=nx−1 (reference iniCavity :3756-3821 topology), so
+    values wrapped through the pad never reach observable state — the
+    padded-wrap rolls are select-masked exactly like the true-width wrap
+    of the whole-lattice kernel."""
+    if nx_arr is None:
+        nx_arr = nx
     S, SO2, SCO2, ST, STs = p.S_vectors()
     t_flow = _mrt_terms(S)
     t_O2 = _mrt_terms(SO2)
@@ -174,8 +200,12 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
         CX3 = None
         CY3 = None
         mrt = None
+        rowg = None      # (H, nx) int32 GLOBAL row index of each cell
+        colv = None      # (H, nx) int32 column index
 
-    def init_consts():
+    def init_consts(H, row0):
+        K.rowg = jax.lax.broadcasted_iota(jnp.int32, (H, nx_arr), 0) + row0
+        K.colv = jax.lax.broadcasted_iota(jnp.int32, (H, nx_arr), 1)
         K.W3 = const9(W)
         K.CX3 = const9(C[:, 0])
         K.CY3 = const9(C[:, 1])
@@ -218,12 +248,10 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
         return rho, momx / rho, momy / rho
 
     def row_mask(i):
-        r = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
-        return r == i
+        return K.rowg == i          # i is a GLOBAL row number
 
     def col_mask(i):
-        c = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
-        return c == i
+        return K.colv == i
 
     def apply_flow_outlet(f):
         """Transliteration of models.combustion.apply_flow_outlet
@@ -250,8 +278,7 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
         f6 = feq[6] - Wf[6] * (e1 - e2)
         f7 = feq[7] - Wf[7] * (e1 + e2)
 
-        rr = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
-        interior = (rr > 1) & (rr < ny - 2)
+        interior = (K.rowg > 1) & (K.rowg < ny - 2)
         m_out = col_mask(nx - 1)
         mi = m_out & interior
         f = [f[k] for k in range(Q)]          # per-k writes: list form
@@ -340,8 +367,7 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
                             [(5, 7, 7), (1, 3, 3), (8, 6, 6)])
         # outlet: species (i=0,1) exclude rows 1/ny−2 (corners below);
         # temperature (i=2) all rows
-        rr = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
-        no_corner = (rr != 1) & (rr != ny - 2)
+        no_corner = (K.rowg != 1) & (K.rowg != ny - 2)
         for i in range(3):
             mask_i = m_out & no_corner if i < 2 else m_out
             gs[i] = triplet(gs[i], amp_out[i], mask_i, OUTP)
@@ -558,10 +584,18 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
 
         return (newf, newO2, newCO2, newT, FO2_k, FCO2_k, FT_k, gcoll_new)
 
+    return init_consts, step
+
+
+def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
+                 nsub: int):
+    """Whole-lattice kernel: all state in VMEM, nsub steps per launch."""
+    init_consts, step = _make_body(p, ny, nx, konv)
+
     def kernel(f_r, gO2_r, gCO2_r, gT_r, FO2_r, FCO2_r, FT_r, gcoll_r,
                m9_r, m2_r,
                of_r, oO2_r, oCO2_r, oT_r, oFO2_r, oFCO2_r, oFT_r, ogc_r):
-        init_consts()
+        init_consts(ny, 0)
         m9 = {name: m9_r[i] for name, i in _M9.items()}
         m2 = {name: m2_r[i] for name, i in _M2.items()}
 
@@ -584,6 +618,151 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
     return kernel
 
 
+def pick_stripe_tile(ny: int, nx: int = 840, halo: int = 8,
+                     budget_mb: float = 55.0) -> int:
+    """Largest stripe height (multiple of 8, ≥ halo, dividing ny) whose
+    DMA'd block — 8 state arrays + the (8,9) mask stack at Text rows —
+    fits ``budget_mb`` of VMEM, leaving the rest of the chip for the
+    step's live intermediates.  The budget is calibrated on hardware at
+    840×160: tile=40/halo=16 (buffers 48.6 MB) compiles and runs;
+    tile=80/halo=8 (71.4 MB) exceeds VMEM."""
+    nx_arr = -(-nx // 128) * 128     # lane padding (Mosaic DMA alignment)
+    best = 0
+    for t in range(max(8, halo), ny + 1, 8):
+        if ny % t:
+            continue
+        text = t + 2 * halo
+        mb = (8 * Q + len(_M9) * Q + len(_M2)) * text * nx_arr * 4 / 2**20
+        mb += 8 * Q * t * nx_arr * 4 / 2**20      # output blocks
+        if mb <= budget_mb:
+            best = t
+    if not best:
+        raise ValueError(
+            f"no stripe height for ny={ny} fits {budget_mb} MB; "
+            "use the XLA path")
+    return best
+
+
+# per-substep halo consumption of the striped kernel: li2014 conjugate
+# links (reach 1) + one-sided gradients (reach 2) + streaming (reach 1).
+# The BC extrapolations read INWARD from the domain-edge rows, which are
+# never cut edges, so they consume no stripe halo.
+STRIPE_REACH = 4
+
+
+def _make_striped_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
+                         nsub: int, Ty: int, halo: int, nx_arr: int):
+    """y-striped kernel for lattices whose whole-lattice VMEM image
+    exceeds the chip (≳60k cells): each grid program DMAs its stripe plus
+    a ``halo``-row cut margin (8-aligned) of the 8 state arrays and the
+    static masks from HBM, advances ``nsub`` steps on the halo-extended
+    block (validity shrinks STRIPE_REACH rows per substep), and writes
+    the stripe interior.  y never wraps (the domain is walled, reference
+    CooLBM_MRT_combustion.cpp:1330-1370), so edge stripes zero-fill the
+    out-of-domain margin; the zeros land only in rows the shrink
+    discards."""
+    assert Ty % 8 == 0 and halo % 8 == 0, (Ty, halo)
+    assert nsub * STRIPE_REACH <= halo, (nsub, halo)
+    assert Ty >= halo, (Ty, halo)   # middle stripes DMA [y0-halo, y0+Ty+halo)
+    assert nx_arr % 128 == 0, nx_arr   # Mosaic DMA lane alignment
+    init_consts, step = _make_body(p, ny, nx, konv, nx_arr=nx_arr)
+    Text = Ty + 2 * halo
+    nprog = ny // Ty
+
+    def kernel(f_h, gO2_h, gCO2_h, gT_h, FO2_h, FCO2_h, FT_h, gcoll_h,
+               m9_h, m2_h,
+               *outs_and_scratch):
+        outs = outs_and_scratch[:8]
+        bufs = outs_and_scratch[8:16]
+        m9buf, m2buf, sem = outs_and_scratch[16:]
+        i = pl.program_id(0)
+        y0 = pl.multiple_of(i * Ty, 8)
+        init_consts(Text, y0 - halo)
+
+        ins = (f_h, gO2_h, gCO2_h, gT_h, FO2_h, FCO2_h, FT_h, gcoll_h)
+
+        def cp(src, dst, slot):
+            d = pltpu.make_async_copy(src, dst, sem.at[slot])
+            d.start()
+            d.wait()
+
+        def load(lo_src, n_rows, lo_dst):
+            """Copy n_rows of every input starting at global row lo_src
+            into buffer row lo_dst."""
+            for s, (src, dst) in enumerate(zip(ins, bufs)):
+                cp(src.at[:, pl.ds(lo_src, n_rows), :],
+                   dst.at[:, pl.ds(lo_dst, n_rows), :], s % 2)
+            cp(m9_h.at[:, :, pl.ds(lo_src, n_rows), :],
+               m9buf.at[:, :, pl.ds(lo_dst, n_rows), :], 0)
+            cp(m2_h.at[:, pl.ds(lo_src, n_rows), :],
+               m2buf.at[:, pl.ds(lo_dst, n_rows), :], 1)
+
+        def zero_rows(lo, n_rows):
+            for dst in bufs:
+                dst[:, pl.ds(lo, n_rows), :] = jnp.zeros(
+                    (Q, n_rows, nx_arr), jnp.float32)
+            m9buf[:, :, pl.ds(lo, n_rows), :] = jnp.zeros(
+                (len(_M9), Q, n_rows, nx_arr), jnp.float32)
+            m2buf[:, pl.ds(lo, n_rows), :] = jnp.zeros(
+                (len(_M2), n_rows, nx_arr), jnp.float32)
+
+        if nprog == 1:
+            zero_rows(0, halo)
+            load(0, ny, halo)
+            zero_rows(halo + ny, halo)
+        else:
+            @pl.when(i == 0)
+            def _():
+                zero_rows(0, halo)
+                load(0, Ty + halo, halo)
+
+            @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
+            def _():
+                load(pl.multiple_of(y0 - halo, 8), Text, 0)
+
+            @pl.when(i == nprog - 1)
+            def _():
+                load(pl.multiple_of(y0 - halo, 8), Ty + halo, 0)
+                zero_rows(Ty + halo, halo)
+
+        m9 = {name: m9buf[i_] for name, i_ in _M9.items()}
+        m2 = {name: m2buf[i_] for name, i_ in _M2.items()}
+
+        def body(_, tok):
+            carry = tuple(b[...] for b in bufs)
+            res = step(carry, m9, m2)
+            for b, val in zip(bufs, res):
+                b[...] = val
+            return tok
+
+        jax.lax.fori_loop(0, nsub, body, 0)
+        for o_r, b in zip(outs, bufs):
+            o_r[...] = b[:, pl.ds(halo, Ty), :]
+
+    return kernel
+
+
+def _make_striped_call(p, ny, nx, konv, nsub, Ty, halo, interpret, nx_arr):
+    Text = Ty + 2 * halo
+    kernel = _make_striped_kernel(p, ny, nx, konv, nsub, Ty, halo, nx_arr)
+    shape = jax.ShapeDtypeStruct((Q, ny, nx_arr), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape,) * 8,
+        grid=(ny // Ty,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
+        out_specs=(pl.BlockSpec((Q, Ty, nx_arr), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM),) * 8,
+        scratch_shapes=[pltpu.VMEM((Q, Text, nx_arr), jnp.float32)] * 8
+        + [pltpu.VMEM((len(_M9), Q, Text, nx_arr), jnp.float32),
+           pltpu.VMEM((len(_M2), Text, nx_arr), jnp.float32),
+           pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
 def _make_call(p, ny, nx, konv, nsub, interpret):
     kernel = _make_kernel(p, ny, nx, konv, nsub)
     shape = jax.ShapeDtypeStruct((Q, ny, nx), jnp.float32)
@@ -600,14 +779,20 @@ def _make_call(p, ny, nx, konv, nsub, interpret):
 
 
 @partial(jax.jit, static_argnames=("p", "n_steps", "konv", "first_step",
-                                   "nsub", "interpret"))
+                                   "nsub", "interpret", "stripe_tile",
+                                   "halo"))
 def run_fused(state: CombustionState, p: CombustionParams, n_steps: int,
               konv: bool = True, first_step: bool = False, nsub: int = 10,
-              interpret: bool = False):
+              interpret: bool = False, stripe_tile: int = 0, halo: int = 8):
     """Advance ``n_steps`` with the fused kernel (``nsub`` steps per
     launch).  Mirrors :func:`..models.combustion.run`: the ``first_step``
     transition (conjugate store not yet populated) runs through the XLA
-    step, everything after through the kernel.  State is cast to f32."""
+    step, everything after through the kernel.  State is cast to f32.
+
+    ``stripe_tile > 0`` selects the y-striped kernel (for lattices whose
+    whole-lattice VMEM image doesn't fit, ≳60k cells): ``stripe_tile``
+    rows per grid program with a ``halo``-row cut margin; ``nsub`` is
+    then capped at ``halo // STRIPE_REACH`` steps per launch."""
     _check_supported(p)
     ny, nx = p.ny, p.nx
     if first_step and n_steps > 0:
@@ -617,8 +802,29 @@ def run_fused(state: CombustionState, p: CombustionParams, n_steps: int,
     m9, m2 = build_mask_inputs(p)
     args = st32[:8]
 
+    if stripe_tile:
+        nsub = min(nsub, halo // STRIPE_REACH)
+        # lane-pad to a 128 multiple (Mosaic DMA alignment); the pads are
+        # inert (see _make_body) and stay in the scan carry, so the cost
+        # is one pad + one slice per run_fused call, not per launch
+        nx_arr = -(-nx // 128) * 128
+        if nx_arr != nx:
+            xpad = (0, nx_arr - nx)
+            args = tuple(jnp.pad(a, ((0, 0), (0, 0), xpad)) for a in args)
+            m9 = jnp.pad(m9, ((0, 0), (0, 0), (0, 0), xpad))
+            m2 = jnp.pad(m2, ((0, 0), (0, 0), xpad))
+
+        def mk(ns):
+            return _make_striped_call(p, ny, nx, konv, ns, stripe_tile,
+                                      halo, interpret, nx_arr)
+    else:
+        nx_arr = nx
+
+        def mk(ns):
+            return _make_call(p, ny, nx, konv, ns, interpret)
+
     if n_steps >= nsub:
-        call = _make_call(p, ny, nx, konv, nsub, interpret)
+        call = mk(nsub)
 
         def body(carry, _):
             return call(*carry, m9, m2), None
@@ -626,6 +832,7 @@ def run_fused(state: CombustionState, p: CombustionParams, n_steps: int,
                                length=n_steps // nsub)
     rem = n_steps % nsub
     if rem:
-        call1 = _make_call(p, ny, nx, konv, rem, interpret)
-        args = call1(*tuple(args), m9, m2)
+        args = mk(rem)(*tuple(args), m9, m2)
+    if nx_arr != nx:
+        args = tuple(a[:, :, :nx] for a in args)
     return CombustionState(*args, st32.q_heat)

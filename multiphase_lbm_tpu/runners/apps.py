@@ -9,6 +9,7 @@ emits the same observables: ``sol_*.vtk`` with the module's exact field list,
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax.numpy as jnp
 import numpy as np
@@ -451,11 +452,18 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
         # measured v5e f32 (serial chip, fresh-input timing): fused 505.5
         # MLUPS flow-only / 452.9 all-four-populations at 420x80 vs XLA
         # 367.4 / 153.8.  The whole-lattice-in-VMEM kernel OOMs beyond
-        # ~60k cells (840x160 needs 179 MB), where the XLA path takes
-        # over (416 MLUPS konv at 840x160).
+        # ~60k cells (840x160 needs 179 MB); there the y-STRIPED fused
+        # kernel takes over (stripes + halo DMA, pallas_combustion
+        # `stripe_tile`), with XLA as the explicit --no-fused fallback.
         if fused is None:
-            fused = nx * ny <= 60000
-        if fused:
+            fused = True
+        if fused and nx * ny > 60000:
+            # y-striped kernel (measured 840x160 konv: 563.6 MLUPS at
+            # tile=40/halo=16/nsub=4 vs 416 XLA; tile=80 exceeds VMEM)
+            from ..ops import pallas_combustion as pcmb
+            tile = pcmb.pick_stripe_tile(ny, nx, halo=16)
+            runner = partial(pcmb.run_fused, stripe_tile=tile, halo=16)
+        elif fused:
             from ..ops import pallas_combustion as pcmb
             runner = pcmb.run_fused
         else:

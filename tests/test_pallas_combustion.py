@@ -68,6 +68,51 @@ def test_fused_matches_xla_fast_flow():
                                rtol=2e-4, atol=5e-6)
 
 
+@pytest.mark.parametrize("nsub", [1, 2])
+def test_striped_matches_xla(small, prepped, nsub):
+    """The y-striped kernel (3 stripes of 16 rows, 8-row cut halo) equals
+    the XLA oracle — the big-lattice path VERDICT r2 asked for (the
+    whole-lattice kernel OOMs ≳60k cells)."""
+    p, flags, f_solid, tab = small
+    st32 = prepped
+    n = 4
+    ref = cb.run(st32, p, n, konv=True)
+    out = pc.run_fused(st32, p, n, konv=True, nsub=nsub, interpret=True,
+                       stripe_tile=16, halo=8)
+    bulk = tab["is_bulk"]
+    for name in ("f", "gO2", "gCO2", "gT"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        sel = np.broadcast_to(bulk | tab["is_obst"], a.shape)
+        np.testing.assert_allclose(b[sel], a[sel], rtol=2e-4, atol=5e-6,
+                                   err_msg=name)
+
+
+def test_striped_lane_padded_matches_xla():
+    """nx=120 is not a 128 multiple, so the striped path lane-pads to 128
+    (Mosaic DMA alignment).  The pads are inert (x=0 is WALL; the outlet
+    pin overwrites wrap-consuming pops), so the padded-wrap kernel must
+    still equal the true-width-wrap oracle."""
+    p = cb.CombustionParams(nx=120, ny=48, with_obstacles=False)
+    flags, _ = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p, T_solid=1.8, flags=flags)
+    st = cb.run(st, p, 60, konv=False)
+    st = cb.run(st, p, 1, konv=True, first_step=True)
+    st = cb.run(st, p, 10, konv=True)
+    st32 = cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
+    n = 4
+    ref = cb.run(st32, p, n, konv=True)
+    out = pc.run_fused(st32, p, n, konv=True, nsub=2, interpret=True,
+                       stripe_tile=16, halo=8)
+    sel = np.broadcast_to(tab["is_bulk"] | tab["is_obst"], ref.f.shape)
+    for name in ("f", "gO2", "gCO2", "gT"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        np.testing.assert_allclose(b[sel], a[sel], rtol=2e-4, atol=5e-6,
+                                   err_msg=name)
+
+
 def test_fused_nsub_consistency(small):
     """nsub only changes the launch batching, not the math."""
     p, flags, f_solid, tab = small
