@@ -651,7 +651,8 @@ STRIPE_REACH = 4
 
 
 def _make_striped_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
-                         nsub: int, Ty: int, halo: int, nx_arr: int):
+                         nsub: int, Ty: int, halo: int, nx_arr: int,
+                         halo_in: bool = False):
     """y-striped kernel for lattices whose whole-lattice VMEM image
     exceeds the chip (≳60k cells): each grid program DMAs its stripe plus
     a ``halo``-row cut margin (8-aligned) of the 8 state arrays and the
@@ -660,26 +661,39 @@ def _make_striped_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
     the stripe interior.  y never wraps (the domain is walled, reference
     CooLBM_MRT_combustion.cpp:1330-1370), so edge stripes zero-fill the
     out-of-domain margin; the zeros land only in rows the shrink
-    discards."""
+    discards.
+
+    ``halo_in``: multi-chip mode — the caller passes arrays already
+    extended by ``halo`` rows per side (filled by a shard_map ring
+    exchange) plus a leading SMEM scalar holding the GLOBAL row index of
+    extended row 0, so loads are uniform in-bounds and the BC row masks
+    stay globally correct on every shard (``ny`` is then the LOCAL
+    unextended row count; BC thresholds still use the global domain
+    height via ``p.ny``)."""
     assert Ty % 8 == 0 and halo % 8 == 0, (Ty, halo)
     assert nsub * STRIPE_REACH <= halo, (nsub, halo)
     assert Ty >= halo, (Ty, halo)   # middle stripes DMA [y0-halo, y0+Ty+halo)
     assert nx_arr % 128 == 0, nx_arr   # Mosaic DMA lane alignment
-    init_consts, step = _make_body(p, ny, nx, konv, nx_arr=nx_arr)
+    # BC row thresholds compare GLOBAL rows: p.ny even when ny is a
+    # shard-local row count (halo_in mode)
+    init_consts, step = _make_body(p, p.ny, nx, konv, nx_arr=nx_arr)
     Text = Ty + 2 * halo
     nprog = ny // Ty
 
-    def kernel(f_h, gO2_h, gCO2_h, gT_h, FO2_h, FCO2_h, FT_h, gcoll_h,
-               m9_h, m2_h,
-               *outs_and_scratch):
-        outs = outs_and_scratch[:8]
-        bufs = outs_and_scratch[8:16]
-        m9buf, m2buf, sem = outs_and_scratch[16:]
+    def kernel(*refs):
+        if halo_in:
+            row0_ref, refs = refs[0], refs[1:]
+        ins = refs[:8]
+        m9_h, m2_h = refs[8:10]
+        outs = refs[10:18]
+        bufs = refs[18:26]
+        m9buf, m2buf, sem = refs[26:]
         i = pl.program_id(0)
         y0 = pl.multiple_of(i * Ty, 8)
-        init_consts(Text, y0 - halo)
-
-        ins = (f_h, gO2_h, gCO2_h, gT_h, FO2_h, FCO2_h, FT_h, gcoll_h)
+        if halo_in:
+            init_consts(Text, row0_ref[0, 0] + y0)
+        else:
+            init_consts(Text, y0 - halo)
 
         def cp(src, dst, slot):
             d = pltpu.make_async_copy(src, dst, sem.at[slot])
@@ -706,7 +720,10 @@ def _make_striped_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
             m2buf[:, pl.ds(lo, n_rows), :] = jnp.zeros(
                 (len(_M2), n_rows, nx_arr), jnp.float32)
 
-        if nprog == 1:
+        if halo_in:
+            # caller-extended arrays: uniform in-bounds loads, no edge cases
+            load(y0, Text, 0)
+        elif nprog == 1:
             zero_rows(0, halo)
             load(0, ny, halo)
             zero_rows(halo + ny, halo)
@@ -761,6 +778,57 @@ def _make_striped_call(p, ny, nx, konv, nsub, Ty, halo, interpret, nx_arr):
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )
+
+
+def step_fused_halo(args8, m9_ext, m2_ext, row0, p: CombustionParams,
+                    konv: bool = True, nsub: int = 1, tile: int = 0,
+                    halo: int = 8, interpret: bool = False):
+    """``nsub`` fused combustion steps on a halo-extended shard: every
+    array in ``args8`` is ``(9, ny_loc + 2·halo, nx)`` with the halo rows
+    already filled (shard_map ring exchange), ``m9_ext``/``m2_ext`` are
+    the equally-extended static masks, and ``row0`` is the GLOBAL row
+    index of extended row 0 (traced; ``shard_index·ny_loc − halo``).
+    Returns the 8 interior updates ``(9, ny_loc, nx)``.  This is the
+    multi-chip building block (SURVEY §5.8) for the reference's largest
+    component; lane-padding to a 128 multiple happens here so callers
+    work in true-width coordinates."""
+    ny_ext = args8[0].shape[1]
+    ny_loc = ny_ext - 2 * halo
+    nx = args8[0].shape[2]
+    assert nx == p.nx, (nx, p.nx)
+    Ty = tile or pick_stripe_tile(ny_loc, nx, halo=halo)
+    assert ny_loc % Ty == 0, (ny_loc, Ty)
+    nsub = min(nsub, halo // STRIPE_REACH)
+    nx_arr = -(-nx // 128) * 128
+    if nx_arr != nx:
+        xpad = ((0, 0), (0, 0), (0, nx_arr - nx))
+        args8 = tuple(jnp.pad(a, xpad) for a in args8)
+        m9_ext = jnp.pad(m9_ext, ((0, 0),) + xpad)
+        m2_ext = jnp.pad(m2_ext, xpad)
+    Text = Ty + 2 * halo
+    kernel = _make_striped_kernel(p, ny_loc, nx, konv, nsub, Ty, halo,
+                                  nx_arr, halo_in=True)
+    shape = jax.ShapeDtypeStruct((Q, ny_loc, nx_arr), jnp.float32)
+    row0_arr = jnp.reshape(jnp.asarray(row0, jnp.int32), (1, 1))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(shape,) * 8,
+        grid=(ny_loc // Ty,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 10,
+        out_specs=(pl.BlockSpec((Q, Ty, nx_arr), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM),) * 8,
+        scratch_shapes=[pltpu.VMEM((Q, Text, nx_arr), jnp.float32)] * 8
+        + [pltpu.VMEM((len(_M9), Q, Text, nx_arr), jnp.float32),
+           pltpu.VMEM((len(_M2), Text, nx_arr), jnp.float32),
+           pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(row0_arr, *args8, m9_ext, m2_ext)
+    if nx_arr != nx:
+        out = tuple(a[:, :, :nx] for a in out)
+    return out
 
 
 def _make_call(p, ny, nx, konv, nsub, interpret):

@@ -220,6 +220,48 @@ def make_fused_hcz3d_step(mesh: Mesh, p, tile: int = 0,
     return jax.jit(shard_fn)
 
 
+def make_fused_combustion_step(mesh: Mesh, p, konv: bool = True,
+                               tile: int = 0, interpret: bool = False,
+                               nsub: int = 1, halo: int = 8):
+    """Multi-chip fused reactive-combustion step (y-sharded lattice over
+    mesh axis 'y'; ring halo exchange of the 8 state arrays + static
+    masks, then the halo-mode striped kernel per shard).  Extends the
+    scale axis (SURVEY §5.8) to the largest reference component
+    (CooLBM_MRT_combustion.cpp:3018-3126).
+
+    The combustion domain is y-walled, not periodic: the ring exchange
+    still wraps the two domain-edge halos, but those rows carry global
+    row indices outside ``[0, ny)`` in the kernel's global-row BC masks
+    and every stencil branch that could read them is select-masked (the
+    same argument that lets the single-chip kernel zero-fill them).
+    Each shard applies inlet/outlet column BCs on its own rows; the
+    wall-row fixes fire only on the shards holding global rows 1 and
+    ny−2.  Returns a jitted function ``(args8, m9, m2) -> args8`` that
+    advances ``nsub`` steps per call (one halo exchange each,
+    ``halo ≥ 4·nsub``)."""
+    from ..ops import pallas_combustion as pcmb
+
+    H = max(halo, _halo_width(pcmb.STRIPE_REACH, nsub))
+
+    def local_step(args8, m9_loc, m2_loc):
+        ext = tuple(_exchange_axis(a, H, 1, "y") for a in args8)
+        m9_ext = _exchange_axis(m9_loc, H, 2, "y")
+        m2_ext = _exchange_axis(m2_loc, H, 1, "y")
+        ny_l = args8[0].shape[1]
+        row0 = lax.axis_index("y") * ny_l - H
+        return pcmb.step_fused_halo(ext, m9_ext, m2_ext, row0, p,
+                                    konv=konv, nsub=nsub, tile=tile,
+                                    halo=H, interpret=interpret)
+
+    spec_state = tuple(P(None, "y", None) for _ in range(8))
+    shard_fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec_state, P(None, None, "y", None), P(None, "y", None)),
+        out_specs=spec_state,
+        check_vma=False)
+    return jax.jit(shard_fn)
+
+
 def make_fused_fakhari_step(mesh: Mesh, p, tile: int = 0,
                             interpret: bool = False, nsub: int = 1):
     """Multi-chip fused Fakhari step (y-sharded; ring halo exchange of

@@ -120,10 +120,53 @@ def check_fakhari(n_devices: int = 4) -> None:
     print(f"fakhari(n={n_devices}): OK")
 
 
+def check_combustion(n_devices: int = 4, nsub: int = 2) -> None:
+    """Multi-chip reactive combustion: 4-way y-sharded shard_map with
+    ring halo exchange + the halo-mode striped kernel matches the XLA
+    oracle, including conjugate-heat links crossing shard boundaries
+    (the obstacle block spans shards) and wall/inlet/outlet BC rows
+    firing only on the shards that hold them."""
+    _force_cpu(n_devices)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import combustion as cb
+    from ..ops import pallas_combustion as pcmb
+    from ..parallel import sharding as sh
+
+    p = cb.CombustionParams(nx=128, ny=16 * n_devices)
+    flags, f_solid = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p, T_solid=1.8, flags=flags)
+    st = cb.run(st, p, 60, konv=False)
+    st = cb.run(st, p, 1, konv=True, first_step=True)
+    st = cb.run(st, p, 10, konv=True)
+    st32 = cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
+
+    n = 2 * nsub
+    ref = cb.run(st32, p, n, konv=True)
+
+    mesh = sh.make_mesh(n_devices, axis_names=("y",))
+    step = sh.make_fused_combustion_step(mesh, p, konv=True, tile=16,
+                                         interpret=True, nsub=nsub)
+    m9, m2 = pcmb.build_mask_inputs(p, flags=flags, f_solid=f_solid)
+    args = tuple(st32[:8])
+    for _ in range(n // nsub):
+        args = step(args, m9, m2)
+    sel = np.broadcast_to(tab["is_bulk"] | tab["is_obst"], ref.f.shape)
+    for name, got in zip(("f", "gO2", "gCO2", "gT"), args[:4]):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(got)
+        np.testing.assert_allclose(b[sel], a[sel], rtol=2e-4, atol=5e-6,
+                                   err_msg=name)
+    print(f"combustion(n={n_devices}, nsub={nsub}): OK")
+
+
 CHECKS = {
     "hcz_wide": check_hcz_wide,
     "hcz3d": check_hcz3d,
     "fakhari": check_fakhari,
+    "combustion": check_combustion,
 }
 
 

@@ -106,3 +106,10 @@ def test_fused_fakhari_multichip():
     """Merged Fakhari kernel under shard_map halo exchange (nsub=2,
     16-row exchange) matches the XLA single-device path."""
     _run_check("fakhari", n_devices=4)
+
+
+def test_fused_combustion_multichip():
+    """Reactive-combustion striped kernel in halo mode under y-sharded
+    shard_map exchange (nsub=2) matches the XLA oracle, with the obstacle
+    block and wall/inlet/outlet BC rows split across shards."""
+    _run_check("combustion", n_devices=4, nsub=2)
