@@ -35,6 +35,16 @@ at tile=128/nsub=6 vs 1552 with VMEM out blocks, and the tile=256
 configs it unlocks (1290/1421 at nsub=3/6) don't beat tile=128 — this
 kernel is not VMEM-bound at its best config, so freeing VMEM buys
 nothing and the extra write-back stores cost ~3-5%.
+Third negative result (round 3): factorizing the streaming into 4
+stacked rolls (group the 8 directions by cx, roll x once per sign, then
+regroup by cy and roll y once per sign — 12 roll + 8 stack ops down to
+4 rolls + 4 stacks per substep; bitwise-identical output) measured
++3.4% at nsub=6 and −0.8% at nsub=9 — the per-op issued costs that
+dominate SMALL-lattice kernels pipeline away at (Ty+2h)×1024 block
+sizes, so op-count reduction buys nothing here.  The same serial-chip
+re-measurement showed round 2's 1552/1620 were chip-contended: the
+UNMODIFIED kernel does ~2350 (nsub=6) / ~2490 (nsub=9) MLUPS measured
+alone.
 """
 from __future__ import annotations
 
