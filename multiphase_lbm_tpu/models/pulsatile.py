@@ -42,6 +42,7 @@ import numpy as np
 
 from ..core.collision import bgk_collide, mrt_collide, pressure_equilibrium
 from ..core.lattice import D2Q9, EX_I, EY_I, JB_I, K_FROM_I
+from ..core.precision import einsum
 
 
 @dataclasses.dataclass(frozen=True)
@@ -445,7 +446,7 @@ def macroscopic(g, fluid, p: PulsatileParams):
     P = jnp.sum(g, axis=0)
     c = np.asarray(D2Q9.c, dtype=np.float64).copy()
     c[0] = 0.0  # k=0 excluded from the reference's momentum loop
-    mom = jnp.einsum("kd,kyx->dyx", jnp.asarray(c, dtype=g.dtype), g)
+    mom = einsum("kd,kyx->dyx", jnp.asarray(c, dtype=g.dtype), g)
     m = fluid.astype(g.dtype)
     return P * m, 3.0 * mom[0] / p.rho0 * m, 3.0 * mom[1] / p.rho0 * m
 
@@ -761,8 +762,9 @@ def step(state: PulsatileState, t, p: PulsatileParams):
 def finish_step(state: PulsatileState, gout, g, P, Ux, Uy,
                 p: PulsatileParams):
     """Geometry tail of the step (wall ODE → Fobj → reseeding → macro
-    fixups), shared by the XLA step above and the fused hydro kernel
-    (:mod:`..ops.pallas_pulsatile`)."""
+    fixups); the whole-step fused kernel
+    (:mod:`..ops.pallas_pulsatile_full`) reimplements this phase
+    in-kernel and is pinned to it by its equivalence tests."""
     if p.deformable:
         yr1, yr2 = move_walls(P, state.yr1, state.yr2, p)
         F_new = fobj_from_walls(yr1, yr2, p)
@@ -784,7 +786,7 @@ def finish_step(state: PulsatileState, gout, g, P, Ux, Uy,
         # unlike the k=0-skipping regular sweep
         fresh = (state.F[1:-1, 1:-1] < 1.0) & (F_new[1:-1, 1:-1] >= 1.0) & fluid_new
         c_full = jnp.asarray(D2Q9.c, dtype=g.dtype)
-        mom = jnp.einsum("kd,kyx->dyx", c_full, g)
+        mom = einsum("kd,kyx->dyx", c_full, g)
         Ux = jnp.where(fresh, 3.0 * mom[0] / p.rho0, Ux)
         Uy = jnp.where(fresh, 3.0 * mom[1] / p.rho0, Uy)
         return PulsatileState(gout, g, yr1, yr2, P, Ux, Uy, F_new, fluid_new)
