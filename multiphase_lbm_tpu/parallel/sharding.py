@@ -286,3 +286,27 @@ def make_fused_fakhari_step(mesh: Mesh, p, tile: int = 0,
         out_specs=(P(None, "y", None), P(None, "y", None), P(None, "y", None)),
         check_vma=False)
     return jax.jit(shard_fn)
+
+
+def make_fused_scrt_step(mesh: Mesh, p, ny_phys: int, tile: int = 0,
+                         interpret: bool = False, nsub: int = 1):
+    """Multi-chip fused SC Rayleigh-Taylor step on the TRANSPOSED state
+    ``(9, nx, ny_pad)`` (pallas_scrt layout): the periodic x axis is cut
+    over mesh axis 'x' with a ring halo exchange (global x-periodicity
+    rides the permute ring), the walled lane axis stays whole per shard.
+    One substep consumes 2 columns of halo validity."""
+    from ..ops import pallas_scrt
+
+    H = max(pallas_scrt.HALO, _halo_width(2, nsub))
+
+    def local_step(ft_loc):
+        ft_ext = _exchange_axis(ft_loc, H, 1, "x")
+        return pallas_scrt.step_fused_halo(
+            ft_ext, p, ny_phys, tile=tile, interpret=interpret,
+            nsub=nsub, halo=H)
+
+    shard_fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=P(None, "x", None), out_specs=P(None, "x", None),
+        check_vma=False)
+    return jax.jit(shard_fn)

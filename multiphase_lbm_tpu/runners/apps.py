@@ -340,7 +340,8 @@ def run_laplace3d(config, outdir, dtype=jnp.float64, max_steps=None):
 
 
 # ─── SC Rayleigh-Taylor (reference SC RayleighTaylor2D.h :578-670) ─────────
-def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None):
+def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None,
+                           fused=False):
     cfg = load_config(config)
     N = _int(cfg, "N", 128)
     nu, omega, dx, dt = lb_parameters(_num(cfg, "ulb", 0.04), N,
@@ -349,9 +350,19 @@ def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None):
         omega=omega, rhol=_num(cfg, "rhol", 1.2), rhog=_num(cfg, "rhog", 0.4),
         g=_num(cfg, "g", -5.0), gravity=_num(cfg, "gravity", -1.25e-5))
     nx, ny = N, 4 * N + 2     # reference dim {N, 4N+2} (RayleighTaylor2D.h:622)
+    if fused:
+        dtype = jnp.float32   # the Pallas path is f32 (TPU production dtype)
     f = rt.init_interface(nx, ny, p, dtype=dtype)
     fluid = rt.geometry_channel(nx, ny)
     f = f * fluid[None].astype(f.dtype)
+    if fused:
+        from ..ops import pallas_scrt
+
+        def advance(fa, n):
+            return pallas_scrt.run_fused(fa, p, n)
+    else:
+        def advance(fa, n):
+            return rt.run(fa, fluid, p, n)
     steps = max_steps or int(_num(cfg, "max_t", 50.01) / dt)
     drv = Driver(outdir, nx * ny, out_freq=_int(cfg, "out_freq", 100),
                  vtk_freq=_int(cfg, "vtk_freq", 100))
@@ -372,7 +383,7 @@ def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None):
             drv.log_file("spike_bubble_position.dat").log(
                 it * dt, s * dx, bub * dx)
         chunk = min(steps - it, max(1, drv.out_freq or steps))
-        f = rt.run(f, fluid, p, chunk)
+        f = advance(f, chunk)
         drv.clock.tick(chunk)
         it += chunk
     drv.finish()

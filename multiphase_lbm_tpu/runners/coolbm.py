@@ -94,7 +94,8 @@ def main(argv=None):
 
     fn, needs_cfg = PROBLEMS[args.problem]
     extra = {}
-    if args.fused and args.problem in ("rayleighTaylor2D", "Young_Laplace2D"):
+    if args.fused and args.problem in ("rayleighTaylor2D", "Young_Laplace2D",
+                                       "RayleighTaylor2D_sc"):
         extra["fused"] = True
     cfg = args.config
     if cfg is None:

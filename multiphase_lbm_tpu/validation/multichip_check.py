@@ -120,6 +120,41 @@ def check_fakhari(n_devices: int = 4) -> None:
     print(f"fakhari(n={n_devices}): OK")
 
 
+def check_scrt(n_devices: int = 4, nsub: int = 2) -> None:
+    """Multi-chip SC Rayleigh-Taylor: the TRANSPOSED state is cut along
+    the periodic x axis over a 4-device ring; matches the XLA model
+    path after the layout round-trip (walls, mirror force, gravity)."""
+    _force_cpu(n_devices)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import shan_chen_rt as rt
+    from ..ops import pallas_scrt
+    from ..parallel import sharding as sh
+
+    p = rt.SCRTParams()
+    N = 8 * n_devices
+    nx, ny = N, 4 * N + 2
+    f = rt.init_interface(nx, ny, p, dtype=jnp.float32)
+    fluid = rt.geometry_channel(nx, ny)
+    f = f * fluid[None].astype(f.dtype)
+    n = 2 * nsub
+    ref = rt.run(f, fluid, p, n)
+
+    ny_pad = -(-ny // 128) * 128
+    ft = jnp.transpose(f, (0, 2, 1))
+    ft = jnp.pad(ft, ((0, 0), (0, 0), (0, ny_pad - ny)))
+    mesh = sh.make_mesh(n_devices, axis_names=("x",))
+    step = sh.make_fused_scrt_step(mesh, p, ny_phys=ny, tile=8,
+                                   interpret=True, nsub=nsub)
+    for _ in range(n // nsub):
+        ft = step(ft)
+    out = jnp.transpose(ft[:, :, :ny], (0, 2, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    print(f"scrt(n={n_devices}, nsub={nsub}): OK")
+
+
 def check_combustion(n_devices: int = 4, nsub: int = 2) -> None:
     """Multi-chip reactive combustion: 4-way y-sharded shard_map with
     ring halo exchange + the halo-mode striped kernel matches the XLA
@@ -166,6 +201,7 @@ CHECKS = {
     "hcz_wide": check_hcz_wide,
     "hcz3d": check_hcz3d,
     "fakhari": check_fakhari,
+    "scrt": check_scrt,
     "combustion": check_combustion,
 }
 

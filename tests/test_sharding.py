@@ -108,6 +108,12 @@ def test_fused_fakhari_multichip():
     _run_check("fakhari", n_devices=4)
 
 
+def test_fused_scrt_multichip():
+    """SC-RT transposed kernel under x-ring shard_map exchange (nsub=2)
+    matches the XLA model path."""
+    _run_check("scrt", n_devices=4, nsub=2)
+
+
 def test_fused_combustion_multichip():
     """Reactive-combustion striped kernel in halo mode under y-sharded
     shard_map exchange (nsub=2) matches the XLA oracle, with the obstacle
