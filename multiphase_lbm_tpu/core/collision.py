@@ -11,6 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .lattice import Lattice
+from .precision import einsum
 
 
 # ─── equilibria ────────────────────────────────────────────────────────────
@@ -27,8 +28,8 @@ def equilibrium(rho, u, lattice: Lattice):
     """
     w = jnp.asarray(lattice.w, dtype=rho.dtype)
     c = jnp.asarray(lattice.c, dtype=rho.dtype)
-    cu = jnp.einsum("kd,d...->k...", c, u)
-    usqr = 1.5 * jnp.einsum("d...,d...->...", u, u)
+    cu = einsum("kd,d...->k...", c, u)
+    usqr = 1.5 * einsum("d...,d...->...", u, u)
     shape = (lattice.q,) + (1,) * rho.ndim
     return rho[None] * w.reshape(shape) * (1.0 + 3.0 * cu + 4.5 * cu * cu - usqr[None])
 
@@ -39,8 +40,8 @@ def gamma_minus_w(u, lattice: Lattice):
     Reference ``Young_Laplace2D.h:174-180``."""
     w = jnp.asarray(lattice.w, dtype=u.dtype)
     c = jnp.asarray(lattice.c, dtype=u.dtype)
-    cu = jnp.einsum("kd,d...->k...", c, u)
-    usqr = 1.5 * jnp.einsum("d...,d...->...", u, u)
+    cu = einsum("kd,d...->k...", c, u)
+    usqr = 1.5 * einsum("d...,d...->...", u, u)
     shape = (lattice.q,) + (1,) * (u.ndim - 1)
     return w.reshape(shape) * (3.0 * cu + 4.5 * cu * cu - usqr[None])
 
@@ -52,8 +53,8 @@ def pressure_equilibrium(P, u, rho0, lattice: Lattice):
     Reference ``PulsatileBloodFlow2D.h:501-507``."""
     w = jnp.asarray(lattice.w, dtype=P.dtype)
     c = jnp.asarray(lattice.c, dtype=P.dtype)
-    cu = jnp.einsum("kd,d...->k...", c, u)
-    usqr = 1.5 * jnp.einsum("d...,d...->...", u, u)
+    cu = einsum("kd,d...->k...", c, u)
+    usqr = 1.5 * einsum("d...,d...->...", u, u)
     shape = (lattice.q,) + (1,) * P.ndim
     return w.reshape(shape) * (P[None] + rho0 / 3.0 * (cu * (3.0 + 4.5 * cu) - usqr[None]))
 

@@ -26,6 +26,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from .lattice import Lattice
+from .precision import einsum
 
 
 def neighbor_values(q, lattice: Lattice, fluid: Optional[jnp.ndarray] = None):
@@ -63,14 +64,14 @@ def isotropic_gradient(q, lattice: Lattice, fluid: Optional[jnp.ndarray] = None)
     vals = neighbor_values(q, lattice, fluid)
     w = jnp.asarray(lattice.w, dtype=q.dtype)
     c = jnp.asarray(lattice.c, dtype=q.dtype)
-    return 3.0 * jnp.einsum("k,kd,k...->d...", w, c, vals)
+    return 3.0 * einsum("k,kd,k...->d...", w, c, vals)
 
 
 def lattice_laplacian(q, lattice: Lattice, fluid: Optional[jnp.ndarray] = None):
     """``∇²q`` with 2/c_s² scaling: ``6 Σ_k w_k (q(r+c_k) − q(r))``."""
     vals = neighbor_values(q, lattice, fluid)
     w = jnp.asarray(lattice.w, dtype=q.dtype)
-    return 6.0 * jnp.einsum("k,k...->...", w, vals - q[None])
+    return 6.0 * einsum("k,k...->...", w, vals - q[None])
 
 
 def grad_of_laplacian(q, lattice: Lattice, fluid: Optional[jnp.ndarray] = None):

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.lattice import D2Q9_REST_FIRST
+from ..core.precision import einsum
 
 LAT = D2Q9_REST_FIRST
 Q = 9
@@ -342,7 +343,7 @@ def _mrt(pop, eq, S):
 def _equilibrium(amp, u, usqr):
     cj = jnp.asarray(C, dtype=amp.dtype)
     wj = jnp.asarray(W, dtype=amp.dtype)
-    cu = jnp.einsum("kd,dyx->kyx", cj, u)
+    cu = einsum("kd,dyx->kyx", cj, u)
     return amp[None] * wj[:, None, None] * (
         1.0 + 3.0 * cu + 4.5 * cu * cu - usqr[None])
 
@@ -377,7 +378,7 @@ def _central_gradient(q, tab):
 def macro_flow(f):
     rho = jnp.sum(f, axis=0)
     cj = jnp.asarray(C, dtype=f.dtype)
-    mom = jnp.einsum("kd,kyx->dyx", cj, f)
+    mom = einsum("kd,kyx->dyx", cj, f)
     return rho, mom / rho[None]
 
 
@@ -508,7 +509,7 @@ def apply_flow_outlet(f, p: CombustionParams):
     def col_macro(col):
         r = jnp.sum(col, axis=0)
         cj = jnp.asarray(C, dtype=col.dtype)
-        mom = jnp.einsum("kd,ky->dy", cj, col)
+        mom = einsum("kd,ky->dy", cj, col)
         return r, mom / r[None]
 
     rho1, u1 = col_macro(f[:, :, nx - 2])
@@ -784,16 +785,16 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
             # relaxed by (1 − S/2)
             cj = jnp.asarray(C, dtype=f.dtype)
             wj = jnp.asarray(W, dtype=f.dtype)
-            cu_f = jnp.einsum("kd,dyx->kyx", cj, u)
+            cu_f = einsum("kd,dyx->kyx", cj, u)
             cF = cj[:, 0][:, None, None] * p.dpdx + cj[:, 1][:, None, None] * p.dpdy
             uF = u[0] * p.dpdx + u[1] * p.dpdy
             Fk = wj[:, None, None] * (3.0 * cF + 9.0 * cu_f * cF - 3.0 * uF[None])
             Mj = jnp.asarray(M_MAT, dtype=f.dtype)
             Minv_j = jnp.asarray(M_INV, dtype=f.dtype)
             Sv = jnp.asarray(S, dtype=f.dtype)
-            mF = jnp.einsum("kj,jyx->kyx", Mj, Fk)
+            mF = einsum("kj,jyx->kyx", Mj, Fk)
             mF = mF * (1.0 - 0.5 * Sv)[:, None, None]
-            post_f = post_f + jnp.einsum("kj,jyx->kyx", Minv_j, mF)
+            post_f = post_f + einsum("kj,jyx->kyx", Minv_j, mF)
         if p.temperature_coupling:
             # TC=1 corrector C_dach (reference :2596-2665): Q = ρu(1−Θ−u²),
             # central/one-sided gradients, moments {1:3(dQx+dQy),
@@ -813,7 +814,7 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
             Sv = jnp.asarray(S, dtype=f.dtype)
             Cm = Cm * (1.0 - 0.5 * Sv)[:, None, None]
             Minv_j = jnp.asarray(M_INV, dtype=f.dtype)
-            post_f = post_f + jnp.einsum(
+            post_f = post_f + einsum(
                 "kj,jyx->kyx", Minv_j, Cm)
 
         if konv:
@@ -834,7 +835,7 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
 
             cj = jnp.asarray(C, dtype=f.dtype)
             wj = jnp.asarray(W, dtype=f.dtype)
-            cu = jnp.einsum("kd,dyx->kyx", cj, u)
+            cu = einsum("kd,dyx->kyx", cj, u)
             FO2_k = wj[:, None, None] * F_O2[None] * (
                 1.0 + 3.0 * cu * ((p.tau_O2 - 0.5) / p.tau_O2))
             FCO2_k = wj[:, None, None] * F_CO2[None] * (
@@ -894,10 +895,10 @@ def make_step(p: CombustionParams, flags=None, f_solid=None, konv=True,
                 rho_b = jnp.where(bulk_m, rho, 1.0)
                 fac = 1.0 - 1.0 / (2.0 * p.tau_T)
                 dneq = gT - T[None] * wj[:, None, None] * (
-                    1.0 + 3.0 * jnp.einsum("kd,dyx->kyx", cj, u_b)
-                    + 4.5 * jnp.einsum("kd,dyx->kyx", cj, u_b) ** 2
+                    1.0 + 3.0 * einsum("kd,dyx->kyx", cj, u_b)
+                    + 4.5 * einsum("kd,dyx->kyx", cj, u_b) ** 2
                     - 1.5 * (u_b[0] ** 2 + u_b[1] ** 2))
-                mom = jnp.einsum("kd,kyx->dyx", cj, dneq)
+                mom = einsum("kd,kyx->dyx", cj, dneq)
                 rc_loc = rho_b * p.cp_gas
                 qx = rc_loc * (fac * mom[0] + u_b[0] * T)
                 qy = rc_loc * (fac * mom[1] + u_b[1] * T)

@@ -26,6 +26,7 @@ from ..core.collision import gamma_minus_w
 from ..core.lattice import D2Q9, Lattice
 from ..core.stencil import isotropic_gradient, lattice_laplacian
 from ..core.streaming import stream_periodic
+from ..core.precision import einsum
 
 EPS_C = 1e-30   # reference epsC, Young_Laplace2D.h:100
 
@@ -92,9 +93,9 @@ def _stress_from_gneq(gneq, lattice: Lattice):
     mask = (c != 0).any(axis=1)
     cw = jnp.asarray(c, dtype=gneq.dtype)
     m = jnp.asarray(mask, dtype=gneq.dtype)
-    sxx = jnp.einsum("k,k,k...->...", m, cw[:, 0] * cw[:, 0], gneq)
-    sxy = jnp.einsum("k,k,k...->...", m, cw[:, 0] * cw[:, 1], gneq)
-    syy = jnp.einsum("k,k,k...->...", m, cw[:, 1] * cw[:, 1], gneq)
+    sxx = einsum("k,k,k...->...", m, cw[:, 0] * cw[:, 0], gneq)
+    sxy = einsum("k,k,k...->...", m, cw[:, 0] * cw[:, 1], gneq)
+    syy = einsum("k,k,k...->...", m, cw[:, 1] * cw[:, 1], gneq)
     return sxx, sxy, syy
 
 
@@ -123,7 +124,7 @@ def velocity_update(g, u_prev, flds: Fields, p: FakhariParams,
     """u = Σ ḡ c + F/(2ρ) (reference :362-368), F evaluated with u_prev."""
     F = total_force(g, u_prev, flds, p, lattice)
     c = jnp.asarray(lattice.c, dtype=g.dtype)
-    mom = jnp.einsum("kd,k...->d...", c, g)
+    mom = einsum("kd,k...->d...", c, g)
     return mom + 0.5 * F / (flds.rho + EPS_C)[None]
 
 
@@ -141,7 +142,7 @@ def collide_stream(h, g, u, flds: Fields, p: FakhariParams,
 
     # h equation (:238-247)
     shape = (1.0 - 4.0 * (flds.C - 0.5) ** 2) / p.W
-    proj = jnp.einsum("kd,d...->k...", c, flds.n)
+    proj = einsum("kd,d...->k...", c, flds.n)
     hlp_h = w.reshape(wshape) * shape[None] * proj
     heq = flds.C[None] * Gamma - 0.5 * hlp_h
     post_h = (1.0 - p.wc) * h + p.wc * heq + hlp_h
@@ -149,7 +150,7 @@ def collide_stream(h, g, u, flds: Fields, p: FakhariParams,
     # g equation (:249-274)
     F = total_force(g, u, flds, p, lattice)
     geq = flds.P[None] * w.reshape(wshape) + GaWa
-    eF = jnp.einsum("kd,d...->k...", c, F)
+    eF = einsum("kd,d...->k...", c, F)
     hlp_g = 3.0 * w.reshape(wshape) * eF / (flds.rho + EPS_C)[None]
     geq_corr = geq - 0.5 * hlp_g
     post_g = (1.0 - p.s8) * g + p.s8 * geq_corr + hlp_g

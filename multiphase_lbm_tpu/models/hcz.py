@@ -35,6 +35,7 @@ from ..core import eos
 from ..core.lattice import D2Q9, D3Q19, Lattice
 from ..core.stencil import grad_of_laplacian, isotropic_gradient
 from ..core.streaming import stream_bounce_back
+from ..core.precision import einsum
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,11 +91,11 @@ def macro_2d(f, g, fluid, p: HCZParams, lattice: Lattice = D2Q9):
     F = jnp.stack([Fx, Fy], axis=0)
 
     c = jnp.asarray(lattice.c, dtype=f.dtype)
-    mom = jnp.einsum("kd,k...->d...", c, g)
+    mom = einsum("kd,k...->d...", c, g)
     u = (mom + F / 6.0) / (rho / 3.0)[None]
 
     # total pressure with kinetic correction (reference total_P uses ∇ρ, :457)
-    P = Pterm + 0.5 * jnp.einsum("d...,d...->...", u, grho) / 3.0
+    P = Pterm + 0.5 * einsum("d...,d...->...", u, grho) / 3.0
     return phi, rho, u, P, F, gpsi_rho, gpsi_phi
 
 
@@ -110,17 +111,17 @@ def step_2d(state, fluid, p: HCZParams, lattice: Lattice = D2Q9):
     phi, rho, u, P, F, gpsi_rho, gpsi_phi = macro_2d(f, g, fluid, p, lattice)
     wk = _per_k(w, q, ndim)
 
-    cu = jnp.einsum("kd,d...->k...", c, u)
-    usqr = 1.5 * jnp.einsum("d...,d...->...", u, u)
+    cu = einsum("kd,d...->k...", c, u)
+    usqr = 1.5 * einsum("d...,d...->...", u, u)
     eqf = phi[None] * wk * (1.0 + 3.0 * cu + 4.5 * cu * cu - usqr[None])
     eqg = wk * (P[None] + (rho / 3.0)[None] * (3.0 * cu + 4.5 * cu * cu - usqr[None]))
 
     # (c_k − u) contractions for the Guo-style forcing (:570-597)
-    e_u_F = jnp.einsum("kd,d...->k...", c, F) - jnp.einsum("d...,d...->...", u, F)[None]
-    e_u_E = (jnp.einsum("kd,d...->k...", c, gpsi_rho)
-             - jnp.einsum("d...,d...->...", u, gpsi_rho)[None])
-    e_u_gphi = (jnp.einsum("kd,d...->k...", c, gpsi_phi)
-                - jnp.einsum("d...,d...->...", u, gpsi_phi)[None])
+    e_u_F = einsum("kd,d...->k...", c, F) - einsum("d...,d...->...", u, F)[None]
+    e_u_E = (einsum("kd,d...->k...", c, gpsi_rho)
+             - einsum("d...,d...->...", u, gpsi_rho)[None])
+    e_u_gphi = (einsum("kd,d...->k...", c, gpsi_phi)
+                - einsum("d...,d...->...", u, gpsi_phi)[None])
 
     half = 1.0 - 0.5 * p.omega
     # φ=0 at solid cells would poison the masked product (NaN·0 = NaN)
@@ -154,11 +155,11 @@ def macro_3d(f, g, fluid, p: HCZParams, lattice: Lattice = D3Q19):
     F = jnp.stack([Fx, Fy, Fz], axis=0)
 
     c = jnp.asarray(lattice.c, dtype=f.dtype)
-    mom = jnp.einsum("kd,k...->d...", c, g)
+    mom = einsum("kd,k...->d...", c, g)
     u = (mom + F / 6.0) / (rho / 3.0)[None]
 
     # total_P (laplace3D.h:318-330): P_term − ½ u·∇ψφ (no extra 1/3)
-    P = Pterm - 0.5 * jnp.einsum("d...,d...->...", u, gpsi_phi)
+    P = Pterm - 0.5 * einsum("d...,d...->...", u, gpsi_phi)
     # E = ∇ψρ with ψρ = P − ρ/3 (laplace3D.h:333-337), materialised
     psi_rho3 = P - rho / 3.0
     gpsi_rho = isotropic_gradient(psi_rho3, lattice, fluid)
@@ -177,16 +178,16 @@ def step_3d(state, fluid, p: HCZParams, lattice: Lattice = D3Q19):
     phi, rho, u, P, F, gpsi_rho, gpsi_phi = macro_3d(f, g, fluid, p, lattice)
     wk = _per_k(w, q, ndim)
 
-    cu = jnp.einsum("kd,d...->k...", c, u)
-    usqr = 1.5 * jnp.einsum("d...,d...->...", u, u)
+    cu = einsum("kd,d...->k...", c, u)
+    usqr = 1.5 * einsum("d...,d...->...", u, u)
     eqf = phi[None] * wk * (1.0 + 3.0 * cu + 4.5 * cu * cu - usqr[None])
     eqg = wk * (P[None] + (rho / 3.0)[None] * (3.0 * cu + 4.5 * cu * cu - usqr[None]))
 
-    e_u_F = jnp.einsum("kd,d...->k...", c, F) - jnp.einsum("d...,d...->...", u, F)[None]
-    e_u_E = (jnp.einsum("kd,d...->k...", c, gpsi_rho)
-             - jnp.einsum("d...,d...->...", u, gpsi_rho)[None])
-    e_u_gphi = (jnp.einsum("kd,d...->k...", c, gpsi_phi)
-                - jnp.einsum("d...,d...->...", u, gpsi_phi)[None])
+    e_u_F = einsum("kd,d...->k...", c, F) - einsum("d...,d...->...", u, F)[None]
+    e_u_E = (einsum("kd,d...->k...", c, gpsi_rho)
+             - einsum("d...,d...->...", u, gpsi_rho)[None])
+    e_u_gphi = (einsum("kd,d...->k...", c, gpsi_phi)
+                - einsum("d...,d...->...", u, gpsi_phi)[None])
 
     half = 1.0 - 0.5 * p.omega
     phi_safe = jnp.where(fluid, phi, 1.0)

@@ -25,6 +25,7 @@ from ..core import eos
 from ..core.collision import bgk_collide, equilibrium, mrt_collide
 from ..core.lattice import D2Q9, Lattice
 from ..core.streaming import stream_bounce_back
+from ..core.precision import einsum
 
 RHO_FLOOR = 1e-14  # matches max(density, 1e-14), reference laplace2D.h:159
 
@@ -76,7 +77,7 @@ def density(f):
 def momentum_velocity(f, rho, lattice: Lattice = D2Q9):
     """Bare velocity u = Σ f c / ρ (reference laplace2D.h:156-170)."""
     c = jnp.asarray(lattice.c, dtype=f.dtype)
-    mom = jnp.einsum("kd,k...->d...", c, f)
+    mom = einsum("kd,k...->d...", c, f)
     return mom / jnp.maximum(rho, RHO_FLOOR)[None]
 
 

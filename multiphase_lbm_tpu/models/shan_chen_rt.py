@@ -20,6 +20,7 @@ import numpy as np
 from ..core import eos
 from ..core.lattice import D2Q9, Lattice
 from ..core.streaming import stream_bounce_back
+from ..core.precision import einsum
 
 RHO_FLOOR = 1e-14
 
@@ -83,21 +84,21 @@ def step_with_gravity(f, fluid, p: SCRTParams, gravity, lattice: Lattice = D2Q9)
     rho_safe = jnp.maximum(rho, RHO_FLOOR)
     c = jnp.asarray(lattice.c, dtype=dtype)
     w = jnp.asarray(lattice.w, dtype=dtype)
-    mom = jnp.einsum("kd,k...->d...", c, f)
+    mom = einsum("kd,k...->d...", c, f)
     u = mom / rho_safe[None]
     F = force_ff(rho, fluid, p, lattice)
     # swap the static-gravity contribution for the traced one
     F = F.at[1].add((gravity - p.gravity) * rho)
     ueq = u + 0.5 * F / rho_safe[None]
 
-    cu = jnp.einsum("kd,d...->k...", c, ueq)
-    usqr = 1.5 * jnp.einsum("d...,d...->...", ueq, ueq)
+    cu = einsum("kd,d...->k...", c, ueq)
+    usqr = 1.5 * einsum("d...,d...->...", ueq, ueq)
     wk = w.reshape((lattice.q,) + (1,) * rho.ndim)
     feq = rho[None] * wk * (1.0 + 3.0 * cu + 4.5 * cu * cu - usqr[None])
 
     # Guo source: w_k (1−ω/2) [3(c−u) + 9(c·u)c]·F  (reference :398-399)
-    e_uF = jnp.einsum("kd,d...->k...", c, F) - jnp.einsum("d...,d...->...", ueq, F)[None]
-    cF = jnp.einsum("kd,d...->k...", c, F)
+    e_uF = einsum("kd,d...->k...", c, F) - einsum("d...,d...->...", ueq, F)[None]
+    cF = einsum("kd,d...->k...", c, F)
     src = wk * (1.0 - 0.5 * p.omega) * (3.0 * e_uF + 9.0 * cu * cF)
 
     post = (1.0 - p.omega) * f + p.omega * feq + src
@@ -138,7 +139,7 @@ def kinetic_energy(f, fluid, p: SCRTParams, lattice: Lattice = D2Q9):
     rho = density(f)
     rho_safe = jnp.maximum(rho, RHO_FLOOR)
     c = jnp.asarray(lattice.c, dtype=f.dtype)
-    u = jnp.einsum("kd,k...->d...", c, f) / rho_safe[None]
+    u = einsum("kd,k...->d...", c, f) / rho_safe[None]
     F = force_ff(rho, fluid, p, lattice)
     ua = u + 0.5 * F / rho_safe[None]
     e = jnp.sum(jnp.where(fluid[None], ua, 0.0) ** 2)
