@@ -30,9 +30,19 @@ def _force_cpu(n_devices: int):
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={n_devices}"
         ).strip()
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # share the test suite's persistent compilation cache: these checks
+    # run in fresh subprocesses, so without it every run re-pays the big
+    # shard_map+interpret-mode compile (30-50 s each)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return jax
 
 

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# silence the per-load AOT "machine feature" warnings from the persistent
+# cache (XLA pseudo-features like prefer-no-scatter trip a string diff;
+# compile and execution happen on the same host)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,6 +25,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: the suite is dominated by XLA-CPU compiles
+# of large scan graphs (30-90 s each); caching them on disk makes re-runs
+# compile-free (measured 39 s -> 3.8 s for the pulsatile length-27 scan).
+# Keys include the HLO, so source changes invalidate automatically.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 

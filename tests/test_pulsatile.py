@@ -111,7 +111,7 @@ def test_non_severed_deformable():
     assert (yr2 - yr1 > 1.0).all()   # vessel stays open
 
 
-def test_reseed_batched_matches_sequential():
+def test_reseed_batched_matches_sequential(setup):
     """The batched reseed pass must equal the exact sequential fori_loop
     (to within compiler FMA reassociation, ≤1 ulp) whenever no fill is
     order-dependent.  Drive the reference config into its wall-relaxation
@@ -119,25 +119,38 @@ def test_reseed_batched_matches_sequential():
     the batch path exists for — and compare the two paths directly."""
     import jax
 
-    N = 32                             # small lattice: same physics regime
-    p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N)
-    st0 = pb.initialize(p)
-    st0 = pb.run(st0, 0, p, 50)        # into the transient
-    s1 = pb.step(st0, 50, p)
-    F_new = pb.fobj_from_walls(s1.yr1, s1.yr2, p)
+    # reuse the module fixture (N=64) and the golden tests' compiled
+    # length-27 scan: this test's marginal compiles are the two reseed
+    # branches only
+    p, st = setup
+    st0 = pb.run(st, 0, p, 27)         # into the transient
+    # next wall position from the current pressure (avoids compiling a
+    # full standalone step just for the geometry motion), displacement
+    # amplified 3x: reseed semantics depend only on the F_old -> F_new
+    # geometry change, and the larger move seeds the many-fresh-cells
+    # regime the batch path exists for
+    yr1m, yr2m = pb.move_walls(st0.P, st0.yr1, st0.yr2, p)
+    yr1 = st0.yr1 + 3.0 * (yr1m - st0.yr1)
+    yr2 = st0.yr2 + 3.0 * (yr2m - st0.yr2)
+    F_new = pb.fobj_from_walls(yr1, yr2, p)
     fluid_new = pb.flags_from_fobj(F_new, p)
     fresh = np.asarray((st0.F[1:-1, 1:-1] < 1.0)
                        & (F_new[1:-1, 1:-1] >= 1.0) & np.asarray(fluid_new))
     assert fresh.sum() > 20            # the many-fresh-cells regime
     g = st0.g_stream
 
-    out = pb.reseed_fresh_nodes(g, st0.P, st0.F, F_new, fluid_new, p)
+    # distinct lambdas: jit caches on the wrapped callable, and the two
+    # traces must differ (the second bakes in the monkeypatched cond)
+    out = jax.jit(lambda *a: pb.reseed_fresh_nodes(*a, p))(
+        g, st0.P, st0.F, F_new, fluid_new)
     # sequential oracle: monkeypatch lax.cond to always take the
-    # sequential branch (reseed_fresh_nodes is not jitted standalone)
+    # sequential branch (active during tracing, so the jitted program
+    # bakes in the sequential fori_loop)
     orig_cond = jax.lax.cond
     try:
         jax.lax.cond = lambda pred, tf, ff, *a: tf(*a)
-        seq = pb.reseed_fresh_nodes(g, st0.P, st0.F, F_new, fluid_new, p)
+        seq = jax.jit(lambda *a: pb.reseed_fresh_nodes(*a, p))(
+            g, st0.P, st0.F, F_new, fluid_new)
     finally:
         jax.lax.cond = orig_cond
     np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
