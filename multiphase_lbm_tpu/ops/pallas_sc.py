@@ -120,21 +120,27 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
         rolls wrap at block edges); callers account for 2 rows of shrink
         per application."""
         # ---- macroscopic fields ----
+        # TPU VPU divides are multi-pass: one reciprocal serves ux, uy and
+        # the velocity shift (4 divides -> 1 divide + 3 multiplies)
         rho = fb[0] + fb[1] + fb[2] + fb[3] + fb[4] + fb[5] + fb[6] + fb[7] + fb[8]
         rho_safe = jnp.maximum(rho, 1e-14)
-        ux = (fb[5] + fb[7] + fb[8] - fb[0] - fb[2] - fb[3]) / rho_safe
-        uy = (fb[3] + fb[6] + fb[7] - fb[1] - fb[2] - fb[8]) / rho_safe
+        inv_rho = 1.0 / rho_safe
+        ux = (fb[5] + fb[7] + fb[8] - fb[0] - fb[2] - fb[3]) * inv_rho
+        uy = (fb[3] + fb[6] + fb[7] - fb[1] - fb[2] - fb[8]) * inv_rho
 
         # ---- Yuan-CS pseudopotential + force ----
         Z = eos.yuan_Z(rho)
         s = R * T * Z - a * rho - eos.CS2
         G1 = jnp.where(s > 0.0, eos.CS2, -eos.CS2)
+        # G1 = ±CS2 is a select of constants, so x/G1 is a select-multiply
+        inv_G1 = jnp.where(s > 0.0, float(1.0 / eos.CS2),
+                           -float(1.0 / eos.CS2))
         P = rho * R * T * Z - a * rho * rho + p.p_shift
-        psi = jnp.sqrt(jnp.maximum(6.0 * (P - eos.CS2 * rho) / G1, 0.0))
+        psi = jnp.sqrt(jnp.maximum(6.0 * (P - eos.CS2 * rho) * inv_G1, 0.0))
         if p.wall_psi_center_branch:
             Zw = float(eos.yuan_Z(np.float64(p.rho_w)))
-            valw = 6.0 * p.rho_w * (R * T * Zw - a * p.rho_w - eos.CS2) / G1 \
-                + 6.0 * p.p_shift / G1
+            valw = (6.0 * p.rho_w * (R * T * Zw - a * p.rho_w - eos.CS2)
+                    + 6.0 * p.p_shift) * inv_G1
             psi_w = jnp.sqrt(jnp.maximum(valw, 0.0))
         else:
             psi_w = float(eos.yuan_psi(np.float64(p.rho_w), a, R, T, p.p_shift))
@@ -170,8 +176,8 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
 
         # ---- collision at shifted velocity ----
         tau = 1.0 / p.omega
-        uex = ux + tau * Fx / rho_safe
-        uey = uy + tau * Fy / rho_safe
+        uex = ux + tau * Fx * inv_rho
+        uey = uy + tau * Fy * inv_rho
         usqr = 1.5 * (uex * uex + uey * uey)
         feq = []
         for k in range(9):
