@@ -55,22 +55,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_utils
 from ..models import combustion as cbm
 from ..models.combustion import (C, M_INV, M_MAT, OPP, Q, W,
                                  CombustionParams, CombustionState)
 
 
-def _roll2(arr, dy, dx):
-    """Value at (..., y+dy, x+dx) on the trailing two axes (wrapping;
-    callers mask edges).  Works on stacked (B, ny, nx) arrays so several
-    fields share one roll (rolls have a large fixed cost)."""
-    nd = arr.ndim
-    out = arr
-    if dy:
-        out = pltpu.roll(out, (-dy) % arr.shape[nd - 2], nd - 2)
-    if dx:
-        out = pltpu.roll(out, (-dx) % arr.shape[nd - 1], nd - 1)
-    return out
+_roll2 = kernel_utils.roll2
 
 
 def _check_supported(p: CombustionParams):
@@ -618,7 +609,7 @@ def _make_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
     return kernel
 
 
-def pick_stripe_tile(ny: int, nx: int = 840, halo: int = 8,
+def pick_stripe_tile(ny: int, nx: int, halo: int = 8,
                      budget_mb: float = 55.0) -> int:
     """Largest stripe height (multiple of 8, ≥ halo, dividing ny) whose
     DMA'd block — 8 state arrays + the (8,9) mask stack at Text rows —
@@ -760,6 +751,9 @@ def _make_striped_kernel(p: CombustionParams, ny: int, nx: int, konv: bool,
 
 
 def _make_striped_call(p, ny, nx, konv, nsub, Ty, halo, interpret, nx_arr):
+    # a non-dividing tile would silently leave the last ny % Ty rows of
+    # every output array unwritten (grid = ny // Ty)
+    assert ny % Ty == 0, (ny, Ty)
     Text = Ty + 2 * halo
     kernel = _make_striped_kernel(p, ny, nx, konv, nsub, Ty, halo, nx_arr)
     shape = jax.ShapeDtypeStruct((Q, ny, nx_arr), jnp.float32)

@@ -55,6 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_utils
 from ..core.lattice import D2Q9
 from ..models.fakhari import EPS_C, FakhariParams
 
@@ -74,15 +75,7 @@ def _pick_tile(ny: int, target: int = 0) -> int:
     return best
 
 
-def _roll2(arr, cy, cx):
-    """Value at (..., y+cy, x+cx) on the trailing two axes."""
-    nd = arr.ndim
-    out = arr
-    if cy:
-        out = pltpu.roll(out, (-cy) % arr.shape[nd - 2], nd - 2)
-    if cx:
-        out = pltpu.roll(out, (-cx) % arr.shape[nd - 1], nd - 1)
-    return out
+_roll2 = kernel_utils.roll2
 
 
 def _loader(ny, nx, Ty, nprog, halo, halo_in=False):

@@ -21,34 +21,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_utils
 from ..core.lattice import D2Q9
 from ..models.hcz import HCZParams
 
 HALO = 8
 
 
-def _pick_tile(ny: int, target: int = 32, minimum: int = 8) -> int:
-    """Largest 8-multiple divisor of ny in [minimum, target]; falls back to
-    the smallest admissible divisor above target (tile must be >= halo)."""
-    best = 0
-    for t in range(8, min(ny, max(target, minimum)) + 1, 8):
-        if ny % t == 0 and t >= minimum:
-            best = t
-    if best == 0:
-        for t in range(max(8, minimum), ny + 1, 8):
-            if ny % t == 0:
-                return t
-        raise ValueError(f"ny={ny} has no 8-multiple stripe height")
-    return best
-
-
-def _roll2(arr, cy, cx):
-    out = arr
-    if cy:
-        out = pltpu.roll(out, (-cy) % arr.shape[0], 0)
-    if cx:
-        out = pltpu.roll(out, (-cx) % arr.shape[1], 1)
-    return out
+_pick_tile = partial(kernel_utils.pick_tile, target=32)
+_roll2 = kernel_utils.roll2
 
 
 REACH = 3  # per-step physical reach: grad(lap(phi)) = 2 + streaming 1

@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_utils
+
 from ..core import eos
 from ..core.collision import MRT_M_I, MRT_M_I_INV
 from ..core.lattice import D2Q9
@@ -42,34 +44,8 @@ from ..models.shan_chen import SCParams
 HALO = 8
 
 
-def _pick_tile(ny: int, target: int = 64, minimum: int = 8) -> int:
-    """Largest divisor of ny that is ≤ target and a multiple of 8 (Mosaic
-    sublane alignment), but at least ``minimum`` (the stripe-load bound
-    tile ≥ halo); falls back to the smallest admissible divisor above
-    target when none fits below it."""
-    best = 0
-    for t in range(8, min(ny, max(target, minimum)) + 1, 8):
-        if ny % t == 0 and t >= minimum:
-            best = t
-    if best == 0:
-        for t in range(max(8, minimum), ny + 1, 8):
-            if ny % t == 0:
-                return t
-        raise ValueError(f"ny={ny} has no stripe height that is a multiple "
-                         "of 8; use the XLA path for this shape")
-    return best
-
-
-def _roll2(arr, cy, cx):
-    """Value at (r+cy, x+cx) for every (r, x): roll by (-cy, -cx).
-
-    pltpu.roll requires non-negative shifts, so reduce modulo axis size."""
-    out = arr
-    if cy:
-        out = pltpu.roll(out, (-cy) % arr.shape[0], 0)
-    if cx:
-        out = pltpu.roll(out, (-cx) % arr.shape[1], 1)
-    return out
+_pick_tile = kernel_utils.pick_tile
+_roll2 = kernel_utils.roll2
 
 
 def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_utils
 from ..core.lattice import D2Q9
 from ..models.shan_chen_rt import RHO_FLOOR, SCRTParams
 
@@ -48,31 +49,8 @@ from ..models.shan_chen_rt import RHO_FLOOR, SCRTParams
 HALO = 8
 
 
-def _pick_tile(nx: int, target: int = 64, minimum: int = 8) -> int:
-    """Largest divisor of nx ≤ target that is a multiple of 8 and ≥ the
-    stripe-load bound ``minimum`` (same policy as pallas_sc)."""
-    best = 0
-    for t in range(8, min(nx, max(target, minimum)) + 1, 8):
-        if nx % t == 0 and t >= minimum:
-            best = t
-    if best == 0:
-        for t in range(max(8, minimum), nx + 1, 8):
-            if nx % t == 0:
-                return t
-        raise ValueError(f"nx={nx} has no stripe height that is a multiple "
-                         "of 8; use the XLA path for this shape")
-    return best
-
-
-def _roll2(arr, cs, cl):
-    """Value at (s+cs, l+cl) on a (sublane, lane) block (non-negative
-    shifts, wrapping both dims)."""
-    out = arr
-    if cs:
-        out = pltpu.roll(out, (-cs) % arr.shape[0], 0)
-    if cl:
-        out = pltpu.roll(out, (-cl) % arr.shape[1], 1)
-    return out
+_pick_tile = kernel_utils.pick_tile
+_roll2 = kernel_utils.roll2
 
 
 def _make_kernel(p: SCRTParams, nx: int, nyL: int, ny_phys: int, Ty: int,

@@ -466,14 +466,23 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
         # ~60k cells (840x160 needs 179 MB); there the y-STRIPED fused
         # kernel takes over (stripes + halo DMA, pallas_combustion
         # `stripe_tile`), with XLA as the explicit --no-fused fallback.
-        if fused is None:
+        auto = fused is None
+        if auto:
             fused = True
         if fused and nx * ny > 60000:
             # y-striped kernel (measured 840x160 konv: 563.6 MLUPS at
             # tile=40/halo=16/nsub=4 vs 416 XLA; tile=80 exceeds VMEM)
             from ..ops import pallas_combustion as pcmb
-            tile = pcmb.pick_stripe_tile(ny, nx, halo=16)
-            runner = partial(pcmb.run_fused, stripe_tile=tile, halo=16)
+            try:
+                tile = pcmb.pick_stripe_tile(ny, nx, halo=16)
+            except ValueError:
+                if not auto:     # user explicitly asked for --fused
+                    raise
+                tile = 0         # no admissible stripe height: XLA fallback
+            if tile:
+                runner = partial(pcmb.run_fused, stripe_tile=tile, halo=16)
+            else:
+                runner = cb.run
         elif fused:
             from ..ops import pallas_combustion as pcmb
             runner = pcmb.run_fused

@@ -55,7 +55,8 @@ def main(argv=None):
                     help="run in float32 (TPU production dtype)")
     ap.add_argument("--fused", action="store_true",
                     help="use the fused Pallas kernel path "
-                         "(rayleighTaylor2D, Young_Laplace2D)")
+                         "(rayleighTaylor2D, Young_Laplace2D, "
+                         "RayleighTaylor2D_sc, combustion)")
     ap.add_argument("--N", type=int, default=64,
                     help="resolution for PulsatileBloodFlow2D")
     ap.add_argument("--scheme", default="li2014",
