@@ -252,8 +252,10 @@ def _make_kernel(p: FakhariParams, ny, nx, Ty, nsub, halo, halo_in=False):
                 momx = momx + cx * g2[k]
             if cy:
                 momy = momy + cy * g2[k]
-        ux2 = momx + 0.5 * Fx2 / (rho2 + EPS_C)
-        uy2 = momy + 0.5 * Fy2 / (rho2 + EPS_C)
+        # one reciprocal serves both components (VPU divides are multi-pass)
+        inv_rho2 = 0.5 / (rho2 + EPS_C)
+        ux2 = momx + Fx2 * inv_rho2
+        uy2 = momy + Fy2 * inv_rho2
         return h2, g2, (ux2, uy2)
 
     def kernel(h_hbm, g_hbm, u_hbm, outh_ref, outg_ref, outu_ref,

@@ -119,17 +119,31 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
         load2d(m_hbm, mbuf, 2)
 
         mb = mbuf[:, :]
+        # mask rolls are substep-invariant: 8 rolls once per block instead
+        # of 16 per substep (the pull streaming's upstream mask
+        # roll(mb, −c_k) equals m_fwd[opp[k]])
+        m_fwd = {}
+        for k in range(9):
+            cx, cy = int(c[k][0]), int(c[k][1])
+            if cx or cy:
+                m_fwd[k] = _roll2(mb, cy, cx)
         cf = [fbuf[k, :, :] for k in range(9)]
         cg = [gbuf[k, :, :] for k in range(9)]
         for _ in range(nsub):
-            cf, cg = step_block(cf, cg, mb)
+            cf, cg = step_block(cf, cg, mb, m_fwd)
         for k in range(9):
             outf_ref[k, :, :] = cf[k][halo:halo + Ty, :]
             outg_ref[k, :, :] = cg[k][halo:halo + Ty, :]
 
-    def step_block(fb, gb, mb):
+    def step_block(fb, gb, mb, m_fwd):
         """One full HCZ step on the halo-extended block; output rows within
-        REACH of the block edge are garbage (rolls wrap at block edges)."""
+        REACH of the block edge are garbage (rolls wrap at block edges).
+
+        Op-count layout (the v5e kernel cost model — see CLAUDE.md): all
+        four independent stencil fields ride ONE stacked roll pair per
+        direction (16 rolls + 8 selects per substep for lap(φ) and three
+        gradients, vs 96 rolls + 32 selects done field-by-field), then
+        ∇(∇²φ) takes a second 16-roll pass it genuinely depends on."""
         # ── macroscopic fields on the extended block ──
         phi = fb[0]
         Pterm = gb[0]
@@ -140,42 +154,49 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
         psi_phi = cs_pressure(phi) - phi / 3.0
         psi_rho = cs_pressure(rho) - rho / 3.0
 
-        # mirrored neighbor read: q(r+c) if fluid there else q(r−c)
-        def nb(q, k):
+        # ── stencil pass A: lap(phi) + grad(psi_rho/psi_phi/rho), all
+        # sharing one (4, y, x) stacked roll pair per direction; the
+        # mirrored read q(r+c) if fluid-there else q(r−c) becomes one
+        # stacked select against the cached mask roll ──
+        stA = jnp.stack([phi, psi_rho, psi_phi, rho])
+        z = jnp.zeros_like(phi)
+        lap_phi = z
+        gprx, gpry, gppx, gppy, grx, gry = z, z, z, z, z, z
+        for k in range(9):
             cx, cy = int(c[k][0]), int(c[k][1])
-            fwd = _roll2(q, cy, cx)
-            bwd = _roll2(q, -cy, -cx)
-            m_f = _roll2(mb, cy, cx)
-            return jnp.where(m_f > 0.5, fwd, bwd)
+            if cx == 0 and cy == 0:
+                continue
+            fwd = _roll2(stA, cy, cx)
+            bwd = _roll2(stA, -cy, -cx)
+            sel = jnp.where(m_fwd[k][None] > 0.5, fwd, bwd)
+            wk = float(w[k])
+            lap_phi = lap_phi + wk * (sel[0] - phi)
+            if cx:
+                gprx = gprx + (wk * cx) * sel[1]
+                gppx = gppx + (wk * cx) * sel[2]
+                grx = grx + (wk * cx) * sel[3]
+            if cy:
+                gpry = gpry + (wk * cy) * sel[1]
+                gppy = gppy + (wk * cy) * sel[2]
+                gry = gry + (wk * cy) * sel[3]
+        lap_phi = 6.0 * lap_phi
+        gprx, gpry = 3.0 * gprx, 3.0 * gpry
+        gppx, gppy = 3.0 * gppx, 3.0 * gppy
+        grx, gry = 3.0 * grx, 3.0 * gry
 
-        def grad(q):
-            gx = jnp.zeros_like(q)
-            gy = jnp.zeros_like(q)
-            for k in range(9):
-                cx, cy = int(c[k][0]), int(c[k][1])
-                if cx == 0 and cy == 0:
-                    continue
-                v = nb(q, k)
-                if cx:
-                    gx = gx + float(w[k] * cx) * v
-                if cy:
-                    gy = gy + float(w[k] * cy) * v
-            return 3.0 * gx, 3.0 * gy
-
-        def lap(q):
-            s = jnp.zeros_like(q)
-            for k in range(9):
-                cx, cy = int(c[k][0]), int(c[k][1])
-                if cx == 0 and cy == 0:
-                    continue
-                s = s + float(w[k]) * (nb(q, k) - q)
-            return 6.0 * s
-
-        lap_phi = lap(phi)
-        glpx, glpy = grad(lap_phi)
-        gprx, gpry = grad(psi_rho)
-        gppx, gppy = grad(psi_phi)
-        grx, gry = grad(rho)
+        # ── stencil pass B: grad(lap_phi) (depends on pass A) ──
+        glpx, glpy = z, z
+        for k in range(9):
+            cx, cy = int(c[k][0]), int(c[k][1])
+            if cx == 0 and cy == 0:
+                continue
+            v = jnp.where(m_fwd[k] > 0.5, _roll2(lap_phi, cy, cx),
+                          _roll2(lap_phi, -cy, -cx))
+            if cx:
+                glpx = glpx + float(w[k] * cx) * v
+            if cy:
+                glpy = glpy + float(w[k] * cy) * v
+        glpx, glpy = 3.0 * glpx, 3.0 * glpy
 
         Fx = p.kappa * rho * glpx + p.gx * rho + p.Gx_const
         Fy = p.kappa * rho * glpy + p.gravity * rho
@@ -188,12 +209,16 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
                 momx = momx + float(cx) * gb[k]
             if cy:
                 momy = momy + float(cy) * gb[k]
-        ux = (momx + Fx / 6.0) / (rho / 3.0)
-        uy = (momy + Fy / 6.0) / (rho / 3.0)
-        P = Pterm + 0.5 * (ux * grx + uy * gry) / 3.0
+        # one reciprocal serves both velocity components (VPU divides are
+        # multi-pass); eqf/phi_safe below likewise shares one reciprocal
+        # across all nine directions
+        inv_rho3 = 3.0 / rho
+        ux = (momx + Fx / 6.0) * inv_rho3
+        uy = (momy + Fy / 6.0) * inv_rho3
+        P = Pterm + (0.5 / 3.0) * (ux * grx + uy * gry)
 
         usqr = 1.5 * (ux * ux + uy * uy)
-        phi_safe = jnp.where(mb > 0.5, phi, 1.0)
+        inv_phi = 1.0 / jnp.where(mb > 0.5, phi, 1.0)
         half = 1.0 - 0.5 * p.omega
         uF = ux * Fx + uy * Fy
         uE = ux * gprx + uy * gpry
@@ -209,7 +234,7 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
             e_u_F = (cx * Fx + cy * Fy) - uF
             e_u_E = (cx * gprx + cy * gpry) - uE
             e_u_G = (cx * gppx + cy * gppy) - uGp
-            eqf_over = eqf / phi_safe
+            eqf_over = eqf * inv_phi
             fg = half * (e_u_F * eqf_over + (-e_u_E) * (eqf_over - float(w[k])))
             ff = half * (-e_u_G) * 3.0 * eqf_over
             pf = ((1.0 - p.omega) * fb[k] + p.omega * eqf + ff) * mb
@@ -217,14 +242,15 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
             post_f.append(pf)
             post_g.append(pg)
 
-        # ── pull streaming with on-site bounce-back ──
+        # ── pull streaming with on-site bounce-back (upstream mask
+        # roll(mb, −c_k) is the cached m_fwd[opp[k]]) ──
         new_f, new_g = [], []
         for k in range(9):
             cx, cy = int(c[k][0]), int(c[k][1])
             if cx == 0 and cy == 0:
                 nf, ng = post_f[4], post_g[4]
             else:
-                up_m = _roll2(mb, -cy, -cx)
+                up_m = m_fwd[opp[k]]
                 nf = jnp.where(up_m > 0.5, _roll2(post_f[k], -cy, -cx),
                                post_f[opp[k]])
                 ng = jnp.where(up_m > 0.5, _roll2(post_g[k], -cy, -cx),

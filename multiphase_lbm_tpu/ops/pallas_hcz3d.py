@@ -177,9 +177,13 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
                 momy = momy + cy * gb[k]
             if cz:
                 momz = momz + cz * gb[k]
-        ux = (momx + Fx / 6.0) / (rho / 3.0)
-        uy = (momy + Fy / 6.0) / (rho / 3.0)
-        uz = (momz + Fz / 6.0) / (rho / 3.0)
+        # one reciprocal serves the three velocity components and the 19
+        # per-direction forcing divides below (VPU divides are multi-pass)
+        inv_rho = 1.0 / rho
+        inv_rho3 = 3.0 * inv_rho
+        ux = (momx + Fx / 6.0) * inv_rho3
+        uy = (momy + Fy / 6.0) * inv_rho3
+        uz = (momz + Fz / 6.0) * inv_rho3
         # total_P (laplace3D.h:318-330): P_term − ½ u·∇ψφ
         P = Pterm - 0.5 * (ux * gppx + uy * gppy + uz * gppz)
         # E-field: ∇(P − ρ/3), materialised (laplace3D.h:333-337)
@@ -187,6 +191,8 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
         gprx, gpry, gprz = grad(psi_rho3)
 
         usqr = 1.5 * (ux * ux + uy * uy + uz * uz)
+        inv_phi = 1.0 / phi
+        rho_third = rho * (1.0 / 3.0)
         half = 1.0 - 0.5 * p.omega
         uF = ux * Fx + uy * Fy + uz * Fz
         uE = ux * gprx + uy * gpry + uz * gprz
@@ -198,14 +204,14 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
             cx, cy, cz = float(c[k][0]), float(c[k][1]), float(c[k][2])
             cu = cx * ux + cy * uy + cz * uz
             eqf = phi * float(w[k]) * (1.0 + 3.0 * cu + 4.5 * cu * cu - usqr)
-            eqg = float(w[k]) * (P + (rho / 3.0) * (3.0 * cu + 4.5 * cu * cu - usqr))
+            eqg = float(w[k]) * (P + rho_third * (3.0 * cu + 4.5 * cu * cu - usqr))
             e_u_F = (cx * Fx + cy * Fy + cz * Fz) - uF
             e_u_E = (cx * gprx + cy * gpry + cz * gprz) - uE
             e_u_G = (cx * gppx + cy * gppy + cz * gppz) - uG
-            eqf_over_phi = eqf / phi
+            eqf_over_phi = eqf * inv_phi
             fg = half * (e_u_F * eqf_over_phi + (-e_u_E) * (eqf_over_phi - float(w[k])))
             # 3D phase forcing divides by ρ (laplace3D.h:608)
-            ff = half * (-e_u_G) * 3.0 * eqf / rho
+            ff = half * (-e_u_G) * 3.0 * eqf * inv_rho
             post_f.append((1.0 - p.omega) * fb[k] + p.omega * eqf + ff)
             post_g.append((1.0 - p.omega) * gb[k] + p.omega * eqg + fg)
 

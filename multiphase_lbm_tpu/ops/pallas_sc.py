@@ -89,12 +89,15 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
     else:
         mrt = False
 
-    def step_block(fb, mb):
+    def step_block(fb, mb, m_fwd):
         """One full SC step on a halo-extended block: 9 arrays in, 9 out.
 
         Output rows within ``reach=2`` of the block edge are garbage (the
         rolls wrap at block edges); callers account for 2 rows of shrink
-        per application."""
+        per application.  ``m_fwd[k]`` is the substep-invariant mask roll
+        roll(mb, c_k), cached once per block by the caller (the walled
+        path otherwise re-rolls the static mask 16× per substep; the
+        streaming's upstream mask roll(mb, −c_k) is m_fwd[opp[k]])."""
         # ---- macroscopic fields ----
         # TPU VPU divides are multi-pass: one reciprocal serves ux, uy and
         # the velocity shift (4 divides -> 1 divide + 3 multiplies)
@@ -134,7 +137,7 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
                 ff = nb_psi
                 bb = 0.0
             else:
-                nb_m = _roll2(mb, cy, cx)
+                nb_m = m_fwd[k]
                 ff = nb_m * nb_psi
                 bb = 1.0 - nb_m
             wk = float(w[k])
@@ -185,8 +188,7 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
                 new_k = _roll2(post[k], -cy, -cx)        # value from (r-cy, x-cx)
             else:
                 pulled = _roll2(post[k], -cy, -cx)       # value from (r-cy, x-cx)
-                up_m = _roll2(mb, -cy, -cx)
-                new_k = jnp.where(up_m > 0.5, pulled, post[opp[k]])
+                new_k = jnp.where(m_fwd[opp[k]] > 0.5, pulled, post[opp[k]])
             new.append(new_k if periodic else new_k * mb)
         return new
 
@@ -246,9 +248,13 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
                        mbuf.at[pl.ds(Ty + halo, halo), :], 1)
 
         mb = None if periodic else mbuf[:, :]   # (Text, nx), 1.0 = fluid
+        m_fwd = None
+        if not periodic:
+            m_fwd = {k: _roll2(mb, int(c[k][1]), int(c[k][0]))
+                     for k in range(9) if int(c[k][0]) or int(c[k][1])}
         cur = [fbuf[k, :, :] for k in range(9)]  # (Text, nx) each
         for _ in range(nsub):
-            cur = step_block(cur, mb)
+            cur = step_block(cur, mb, m_fwd)
         for k in range(9):
             out_ref[k, :, :] = cur[k][halo:halo + Ty, :]
 

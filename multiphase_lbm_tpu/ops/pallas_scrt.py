@@ -100,8 +100,11 @@ def _make_kernel(p: SCRTParams, nx: int, nyL: int, ny_phys: int, Ty: int,
                 mx = mx + cx * fb[k]
             if cy:
                 my = my + cy * fb[k]
-        ux = mx / rho_safe
-        uy = my / rho_safe
+        # one reciprocal serves both velocity components and the Guo
+        # half-force shift below (VPU divides are multi-pass)
+        inv_rho = 1.0 / rho_safe
+        ux = mx * inv_rho
+        uy = my * inv_rho
 
         # ψ = 1 − e^(−ρ) and the mirrored-read fluid-fluid force
         # (reference force_ff :237-293; eos.psi_exponential)
@@ -131,8 +134,8 @@ def _make_kernel(p: SCRTParams, nx: int, nyL: int, ny_phys: int, Ty: int,
         Fy = -gcoup * psi * fy + grav * rho
 
         # Guo forcing at u_eq = u + F/(2ρ) (reference :392-401)
-        uex = ux + 0.5 * Fx / rho_safe
-        uey = uy + 0.5 * Fy / rho_safe
+        uex = ux + 0.5 * Fx * inv_rho
+        uey = uy + 0.5 * Fy * inv_rho
         usqr = 1.5 * (uex * uex + uey * uey)
         uF = uex * Fx + uey * Fy
         post = [None] * 9
