@@ -28,6 +28,64 @@ def pick_tile(n: int, target: int = 64, minimum: int = 8) -> int:
     return best
 
 
+def fwd_shifts(arr, c_by_k):
+    """Neighbor values ``arr`` at (..., y+cy, x+cx) for every direction in
+    ``c_by_k`` ({k: (cx, cy)} with cy ∈ {−1, 0, 1}), sharing separable
+    rolls: the (up to two) y-rolls are computed once and the x-rolls are
+    applied on top, so a full D2Q9 neighborhood costs 8 pltpu.roll issues
+    instead of 12 (4 straight + 4 double-issue diagonals) — and callers
+    get every BACKWARD read free, since roll(q, −c_k) is the forward
+    value of the opposite direction."""
+    bases = {0: arr}
+    out = {}
+    for k, (cx, cy) in c_by_k.items():
+        if cy not in bases:
+            bases[cy] = roll2(arr, cy, 0)
+    for k, (cx, cy) in c_by_k.items():
+        out[k] = roll2(bases[cy], 0, cx)
+    return out
+
+
+def roll3(arr, cz, cy, cx):
+    """Value at (..., z+cz, y+cy, x+cx) on the trailing three axes
+    (wrapping; callers confine artifacts to cropped halo slabs).  Works on
+    stacked (B, nz, ny, nx) arrays so several fields share one roll."""
+    nd = arr.ndim
+    out = arr
+    if cz:
+        out = pltpu.roll(out, (-cz) % arr.shape[nd - 3], nd - 3)
+    if cy:
+        out = pltpu.roll(out, (-cy) % arr.shape[nd - 2], nd - 2)
+    if cx:
+        out = pltpu.roll(out, (-cx) % arr.shape[nd - 1], nd - 1)
+    return out
+
+
+def fwd_shifts3(arr, c_by_k):
+    """3D variant of :func:`fwd_shifts` for D3Q19-style sets
+    ({k: (cx, cy, cz)}, components in {−1, 0, 1}, at most two nonzero):
+    the z-rolls (and xy-plane y-rolls) are computed once and the
+    remaining single-axis rolls stack on top — 18 roll issues for the
+    full neighborhood instead of 30 (each of the 12 face-diagonals is
+    double-issue when rolled directly).  Backward reads are free via the
+    opposite direction."""
+    zb = {0: arr}
+    yb = {0: arr}
+    out = {}
+    for cx, cy, cz in c_by_k.values():
+        if cz and cz not in zb:
+            zb[cz] = roll3(arr, cz, 0, 0)
+    for cx, cy, cz in c_by_k.values():
+        if cz == 0 and cy and cy not in yb:
+            yb[cy] = roll3(arr, 0, cy, 0)
+    for k, (cx, cy, cz) in c_by_k.items():
+        if cz:
+            out[k] = roll3(zb[cz], 0, cy, cx)
+        else:
+            out[k] = roll3(yb[cy], 0, 0, cx)
+    return out
+
+
 def roll2(arr, cy, cx):
     """Value at (..., y+cy, x+cx) on the trailing two axes: roll by
     (-cy, -cx), wrapping (callers mask edges).

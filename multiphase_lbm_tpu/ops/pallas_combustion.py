@@ -236,7 +236,9 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
         rho = jnp.sum(f, axis=0)
         momx = jnp.sum(K.CX3 * f, axis=0)
         momy = jnp.sum(K.CY3 * f, axis=0)
-        return rho, momx / rho, momy / rho
+        # one reciprocal for both components (VPU divides are multi-pass)
+        inv_rho = 1.0 / rho
+        return rho, momx * inv_rho, momy * inv_rho
 
     def row_mask(i):
         return K.rowg == i          # i is a GLOBAL row number
@@ -404,10 +406,10 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
         s_n = (m2["s_n"] > 0.5)[None]
         s_e = (m2["s_e"] > 0.5)[None]
         s_w = (m2["s_w"] > 0.5)[None]
-        gy = jnp.where(s_s, (-3.0 * q + 4.0 * Nq - NN) / 2.0, gy)
-        gy = jnp.where(s_n, (3.0 * q - 4.0 * Sq + SS) / 2.0, gy)
-        gx = jnp.where(s_w, (-3.0 * q + 4.0 * E - EE) / 2.0, gx)
-        gx = jnp.where(s_e, (3.0 * q - 4.0 * Wq + WW) / 2.0, gx)
+        gy = jnp.where(s_s, (-3.0 * q + 4.0 * Nq - NN) * 0.5, gy)
+        gy = jnp.where(s_n, (3.0 * q - 4.0 * Sq + SS) * 0.5, gy)
+        gx = jnp.where(s_w, (-3.0 * q + 4.0 * E - EE) * 0.5, gx)
+        gx = jnp.where(s_e, (3.0 * q - 4.0 * Wq + WW) * 0.5, gx)
         return gx, gy
 
     def step(carry, m9, m2):
@@ -468,9 +470,10 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
             gY2x = jnp.where(m_outcol, 0.0, gY2x)
             gux = jnp.where(m_outcol, 0.0, gux)
             div_u = gux + guy
-            F_O2 = (p.D_O2 / rho) * (gY1x * grho_x + gY1y * grho_y) \
+            inv_rho = 1.0 / rho
+            F_O2 = (p.D_O2 * inv_rho) * (gY1x * grho_x + gY1y * grho_y) \
                 + YO2 * div_u
-            F_CO2 = (p.D_CO2 / rho) * (gY2x * grho_x + gY2y * grho_y) \
+            F_CO2 = (p.D_CO2 * inv_rho) * (gY2x * grho_x + gY2y * grho_y) \
                 + YCO2 * div_u
 
             fac_O2 = 3.0 * (p.tau_O2 - 0.5) / p.tau_O2
@@ -496,8 +499,11 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
             y_sum = jnp.sum(jnp.where(m9["nb_obst"][1:5] > 0.5,
                                       YO2_int[1:5], 0.0), axis=0)
             if li2014:
-                F_r = kr * y_sum * rho / p.M_O2
-                F_T = F_r * p.delta_hr / (rho * p.cp_gas)
+                # F_r = kr·y_sum·rho/M_O2; F_T = F_r·Δh_r/(rho·cp): keep
+                # the reference's two-stage form but fold the constants
+                # and reuse inv_rho (2 array divides -> 0)
+                F_r = kr * y_sum * rho * float(1.0 / p.M_O2)
+                F_T = F_r * float(p.delta_hr / p.cp_gas) * inv_rho
             else:
                 F_T = jnp.zeros_like(T)
             FT_k = K.W3 * F_T[None] * (1.0 + fac_T * cu)

@@ -31,6 +31,10 @@ HALO = 8
 _pick_tile = partial(kernel_utils.pick_tile, target=32)
 _roll2 = kernel_utils.roll2
 
+# the 8 moving directions as {k: (cx, cy)} for kernel_utils.fwd_shifts
+_DIRS = {k: (int(D2Q9.c[k][0]), int(D2Q9.c[k][1]))
+         for k in range(9) if int(D2Q9.c[k][0]) or int(D2Q9.c[k][1])}
+
 
 REACH = 3  # per-step physical reach: grad(lap(phi)) = 2 + streaming 1
 
@@ -119,14 +123,10 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
         load2d(m_hbm, mbuf, 2)
 
         mb = mbuf[:, :]
-        # mask rolls are substep-invariant: 8 rolls once per block instead
-        # of 16 per substep (the pull streaming's upstream mask
-        # roll(mb, −c_k) equals m_fwd[opp[k]])
-        m_fwd = {}
-        for k in range(9):
-            cx, cy = int(c[k][0]), int(c[k][1])
-            if cx or cy:
-                m_fwd[k] = _roll2(mb, cy, cx)
+        # mask rolls are substep-invariant: 8 separable roll issues once
+        # per block instead of 16+ per substep (the pull streaming's
+        # upstream mask roll(mb, −c_k) equals m_fwd[opp[k]])
+        m_fwd = kernel_utils.fwd_shifts(mb, _DIRS)
         cf = [fbuf[k, :, :] for k in range(9)]
         cg = [gbuf[k, :, :] for k in range(9)]
         for _ in range(nsub):
@@ -140,10 +140,12 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
         REACH of the block edge are garbage (rolls wrap at block edges).
 
         Op-count layout (the v5e kernel cost model — see CLAUDE.md): all
-        four independent stencil fields ride ONE stacked roll pair per
-        direction (16 rolls + 8 selects per substep for lap(φ) and three
-        gradients, vs 96 rolls + 32 selects done field-by-field), then
-        ∇(∇²φ) takes a second 16-roll pass it genuinely depends on."""
+        four independent stencil fields ride ONE stacked (4, y, x) array
+        whose 8 neighbor shifts share separable rolls and whose backward
+        reads reuse fwd[opp[k]] — 8 roll issues + 8 selects per substep
+        for lap(φ) and three gradients, where the field-by-field pass
+        issued ~144 rolls + 40 selects; ∇(∇²φ) takes its own 8-issue
+        pass it genuinely depends on."""
         # ── macroscopic fields on the extended block ──
         phi = fb[0]
         Pterm = gb[0]
@@ -155,20 +157,17 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
         psi_rho = cs_pressure(rho) - rho / 3.0
 
         # ── stencil pass A: lap(phi) + grad(psi_rho/psi_phi/rho), all
-        # sharing one (4, y, x) stacked roll pair per direction; the
-        # mirrored read q(r+c) if fluid-there else q(r−c) becomes one
-        # stacked select against the cached mask roll ──
+        # four fields on ONE (4, y, x) stack whose 8 neighbor shifts share
+        # separable rolls (8 issues); the mirrored read q(r+c) if
+        # fluid-there else q(r−c) becomes one stacked select per
+        # direction, with the backward read reusing fwd[opp[k]] ──
         stA = jnp.stack([phi, psi_rho, psi_phi, rho])
+        fwd = kernel_utils.fwd_shifts(stA, _DIRS)
         z = jnp.zeros_like(phi)
         lap_phi = z
         gprx, gpry, gppx, gppy, grx, gry = z, z, z, z, z, z
-        for k in range(9):
-            cx, cy = int(c[k][0]), int(c[k][1])
-            if cx == 0 and cy == 0:
-                continue
-            fwd = _roll2(stA, cy, cx)
-            bwd = _roll2(stA, -cy, -cx)
-            sel = jnp.where(m_fwd[k][None] > 0.5, fwd, bwd)
+        for k, (cx, cy) in _DIRS.items():
+            sel = jnp.where(m_fwd[k][None] > 0.5, fwd[k], fwd[opp[k]])
             wk = float(w[k])
             lap_phi = lap_phi + wk * (sel[0] - phi)
             if cx:
@@ -184,14 +183,11 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
         gppx, gppy = 3.0 * gppx, 3.0 * gppy
         grx, gry = 3.0 * grx, 3.0 * gry
 
-        # ── stencil pass B: grad(lap_phi) (depends on pass A) ──
+        # ── stencil pass B: grad(lap_phi) (true dependency on pass A) ──
+        fwd_lp = kernel_utils.fwd_shifts(lap_phi, _DIRS)
         glpx, glpy = z, z
-        for k in range(9):
-            cx, cy = int(c[k][0]), int(c[k][1])
-            if cx == 0 and cy == 0:
-                continue
-            v = jnp.where(m_fwd[k] > 0.5, _roll2(lap_phi, cy, cx),
-                          _roll2(lap_phi, -cy, -cx))
+        for k, (cx, cy) in _DIRS.items():
+            v = jnp.where(m_fwd[k] > 0.5, fwd_lp[k], fwd_lp[opp[k]])
             if cx:
                 glpx = glpx + float(w[k] * cx) * v
             if cy:

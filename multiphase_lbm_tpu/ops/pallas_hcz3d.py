@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_utils
 from ..core.lattice import D3Q19
 from ..models.hcz import HCZParams
 
@@ -27,20 +28,12 @@ HALO = 3   # per-step physical reach: grad(lap(phi)) = 2 + streaming 1
 Q = 19
 
 
-def _roll3(arr, cz, cy, cx):
-    """Value at (..., z+cz, y+cy, x+cx) on the trailing three axes; z wraps
-    only inside the halo-extended block (artifacts confined to cropped
-    slabs).  Works on stacked (B, Text, ny, nx) arrays so several fields
-    share one roll (rolls have a large fixed cost on this chip)."""
-    nd = arr.ndim
-    out = arr
-    if cz:
-        out = pltpu.roll(out, (-cz) % arr.shape[nd - 3], nd - 3)
-    if cy:
-        out = pltpu.roll(out, (-cy) % arr.shape[nd - 2], nd - 2)
-    if cx:
-        out = pltpu.roll(out, (-cx) % arr.shape[nd - 1], nd - 1)
-    return out
+_roll3 = kernel_utils.roll3
+
+# the 18 moving directions as {k: (cx, cy, cz)} for fwd_shifts3
+_DIRS3 = {k: (int(D3Q19.c[k][0]), int(D3Q19.c[k][1]), int(D3Q19.c[k][2]))
+          for k in range(Q)
+          if any(int(v) for v in D3Q19.c[k])}
 
 
 def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
@@ -130,14 +123,14 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
         psi_phi = cs_pressure(phi) - phi / 3.0
 
         def grad(q):
+            """∇q with the 18 neighbor reads sharing separable rolls
+            (18 issues instead of 30 double-issue diagonals)."""
+            fwd = kernel_utils.fwd_shifts3(q, _DIRS3)
             gx = jnp.zeros_like(q)
             gy = jnp.zeros_like(q)
             gz = jnp.zeros_like(q)
-            for k in range(Q):
-                cx, cy, cz = int(c[k][0]), int(c[k][1]), int(c[k][2])
-                if cx == 0 and cy == 0 and cz == 0:
-                    continue
-                v = _roll3(q, cz, cy, cx)
+            for k, (cx, cy, cz) in _DIRS3.items():
+                v = fwd[k]
                 if cx:
                     gx = gx + float(w[k] * cx) * v
                 if cy:
@@ -146,21 +139,30 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
                     gz = gz + float(w[k] * cz) * v
             return 3.0 * gx, 3.0 * gy, 3.0 * gz
 
-        def lap(q):
-            s = jnp.zeros_like(q)
-            for k in range(Q):
-                cx, cy, cz = int(c[k][0]), int(c[k][1]), int(c[k][2])
-                if cx == 0 and cy == 0 and cz == 0:
-                    continue
-                s = s + float(w[k]) * (_roll3(q, cz, cy, cx) - q)
-            return 6.0 * s
+        # pass 1: neighbors of the [phi, psi_phi] stack serve BOTH lap(φ)
+        # and grad(ψφ) — one separable 18-issue neighborhood for the two
+        # fields (was 30 issues for lap alone + 30 for the grad pair)
+        st1 = jnp.stack([phi, psi_phi])
+        f1 = kernel_utils.fwd_shifts3(st1, _DIRS3)
+        lap_phi = jnp.zeros_like(phi)
+        gppx = jnp.zeros_like(phi)
+        gppy = jnp.zeros_like(phi)
+        gppz = jnp.zeros_like(phi)
+        for k, (cx, cy, cz) in _DIRS3.items():
+            v = f1[k]
+            wk = float(w[k])
+            lap_phi = lap_phi + wk * (v[0] - phi)
+            if cx:
+                gppx = gppx + (wk * cx) * v[1]
+            if cy:
+                gppy = gppy + (wk * cy) * v[1]
+            if cz:
+                gppz = gppz + (wk * cz) * v[1]
+        lap_phi = 6.0 * lap_phi
+        gppx, gppy, gppz = 3.0 * gppx, 3.0 * gppy, 3.0 * gppz
 
-        lap_phi = lap(phi)
-        # one stacked gradient pass for (∇²φ, ψφ): every roll carries both
-        # fields (rolls are fixed-cost ops; see CLAUDE.md op-cost model)
-        g2x, g2y, g2z = grad(jnp.stack([lap_phi, psi_phi]))
-        glpx, glpy, glpz = g2x[0], g2y[0], g2z[0]
-        gppx, gppy, gppz = g2x[1], g2y[1], g2z[1]
+        # pass 2: grad(∇²φ) (true dependency on pass 1)
+        glpx, glpy, glpz = grad(lap_phi)
 
         Fx = p.kappa * phi * glpx
         Fy = p.kappa * phi * glpy + p.gravity * rho

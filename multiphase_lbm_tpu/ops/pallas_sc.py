@@ -47,6 +47,10 @@ HALO = 8
 _pick_tile = kernel_utils.pick_tile
 _roll2 = kernel_utils.roll2
 
+# the 8 moving directions as {k: (cx, cy)} for kernel_utils.fwd_shifts
+_DIRS = {k: (int(D2Q9.c[k][0]), int(D2Q9.c[k][1]))
+         for k in range(9) if int(D2Q9.c[k][0]) or int(D2Q9.c[k][1])}
+
 
 def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
                  periodic: bool = False, halo_in: bool = False,
@@ -124,15 +128,14 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
         else:
             psi_w = float(eos.yuan_psi(np.float64(p.rho_w), a, R, T, p.p_shift))
 
+        # 8 neighbor reads of ψ via separable rolls (8 issues, not 12)
+        psi_fwd = kernel_utils.fwd_shifts(psi, _DIRS)
         sum_ff_x = jnp.zeros_like(rho)
         sum_ff_y = jnp.zeros_like(rho)
         sum_bb_x = jnp.zeros_like(rho)
         sum_bb_y = jnp.zeros_like(rho)
-        for k in range(9):
-            cx, cy = int(c[k][0]), int(c[k][1])
-            if cx == 0 and cy == 0:
-                continue
-            nb_psi = _roll2(psi, cy, cx)
+        for k, (cx, cy) in _DIRS.items():
+            nb_psi = psi_fwd[k]
             if periodic:
                 ff = nb_psi
                 bb = 0.0
@@ -250,8 +253,7 @@ def _make_kernel(p: SCParams, ny: int, nx: int, Ty: int, interpret: bool,
         mb = None if periodic else mbuf[:, :]   # (Text, nx), 1.0 = fluid
         m_fwd = None
         if not periodic:
-            m_fwd = {k: _roll2(mb, int(c[k][1]), int(c[k][0]))
-                     for k in range(9) if int(c[k][0]) or int(c[k][1])}
+            m_fwd = kernel_utils.fwd_shifts(mb, _DIRS)
         cur = [fbuf[k, :, :] for k in range(9)]  # (Text, nx) each
         for _ in range(nsub):
             cur = step_block(cur, mb, m_fwd)

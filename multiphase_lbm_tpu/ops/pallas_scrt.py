@@ -109,12 +109,11 @@ def _make_kernel(p: SCRTParams, nx: int, nyL: int, ny_phys: int, Ty: int,
         # ψ = 1 − e^(−ρ) and the mirrored-read fluid-fluid force
         # (reference force_ff :237-293; eos.psi_exponential)
         psi = 1.0 - jnp.exp(-rho)
-        fwd = [None] * 9
-        for k in range(9):
-            cx, cy = Ci[k]
-            if cx == 0 and cy == 0:
-                continue
-            fwd[k] = _roll2(psi, cx, cy)    # ψ at (x+cx, y+cy)
+        # ψ at (x+cx, y+cy) for all 8 directions via separable rolls
+        # (transposed layout: sublane = x, lane = y → pass (cy, cx))
+        fwd = kernel_utils.fwd_shifts(
+            psi, {k: (cy, cx) for k, (cx, cy) in enumerate(Ci)
+                  if cx or cy})
         fx = jnp.zeros_like(rho)
         fy = jnp.zeros_like(rho)
         for k in range(9):
