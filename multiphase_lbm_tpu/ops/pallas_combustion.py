@@ -254,7 +254,7 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
         st3 = jnp.stack([rho_f, ux_f, uy_f])
         m1 = _roll2(st3, 0, -1)      # values of column x−1 placed at x
         m2r = _roll2(st3, 0, -2)
-        ex3 = (4.0 * m1 - m2r) / 3.0
+        ex3 = (4.0 * m1 - m2r) * (1.0 / 3.0)
         rho, ux, uy = ex3[0], ex3[1], ex3[2]
         # equilibrium() expects the pre-scaled 1.5·u² (the reference and the
         # XLA oracle both subtract 1.5·usqr in the outlet feq —
@@ -284,13 +284,13 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
             mc = m_out & row_mask(yc)
             if sgn < 0:
                 f8 = (rho + rho * ux - (2.0 / 3.0) * rho * uy - f[0]
-                      - 2.0 * (f[1] + f[4] + f[8])) / 2.0
+                      - 2.0 * (f[1] + f[4] + f[8])) * 0.5
             else:
                 f8 = (rho + rho * ux + (2.0 / 3.0) * rho * uy - f[0]
-                      - 2.0 * (f[1] + f[2] + f[5])) / 2.0
-            f6c = f8 - rho * ux / 6.0 + rho * uy / 6.0
+                      - 2.0 * (f[1] + f[2] + f[5])) * 0.5
+            f6c = f8 + (rho * uy - rho * ux) * (1.0 / 6.0)
             f3c = f[1] - 2.0 / 3.0 * rho * ux
-            f7c = f[5] - rho * ux / 6.0 + rho * uy / 6.0
+            f7c = f[5] + (rho * uy - rho * ux) * (1.0 / 6.0)
             f24 = (f[4] + 2.0 / 3.0 * rho * uy if sgn < 0
                    else f[2] - 2.0 / 3.0 * rho * uy)
             f[8] = jnp.where(mc, f8, f[8])
@@ -325,8 +325,8 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
         INP = [(5, 7, 7), (1, 3, 3), (8, 6, 6)]
         OUTP = [(6, 8, 8), (3, 1, 1), (7, 5, 5)]
         s3 = sums()
-        amp_top = (4.0 * _roll2(s3, -1, 0) - _roll2(s3, -2, 0)) / 3.0
-        amp_out = (4.0 * _roll2(s3, 0, -1) - _roll2(s3, 0, -2)) / 3.0
+        amp_top = (4.0 * _roll2(s3, -1, 0) - _roll2(s3, -2, 0)) * (1.0 / 3.0)
+        amp_out = (4.0 * _roll2(s3, 0, -1) - _roll2(s3, 0, -2)) * (1.0 / 3.0)
         # x=1 / x=nx−1 overrides: rows ny−3/ny−4 read their column's
         # inlet/outlet fix first (reference per-cell i-order)
         m_in_fix = []
@@ -340,7 +340,7 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
             m_in_fix.append(s3[i] + din)
             m_out_fix.append(s3[i] + dout)
         mfix = jnp.stack(m_in_fix + m_out_fix)          # (6, ny, nx)
-        atop_fix = (4.0 * _roll2(mfix, -1, 0) - _roll2(mfix, -2, 0)) / 3.0
+        atop_fix = (4.0 * _roll2(mfix, -1, 0) - _roll2(mfix, -2, 0)) * (1.0 / 3.0)
         m_in = col_mask(1)
         m_out = col_mask(nx - 1)
         amp_top = jnp.where(m_in[None], atop_fix[:3], amp_top)
@@ -350,7 +350,7 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
             gs[i] = triplet(gs[i], amp_top[i], m_top,
                             [(7, 7, 5), (4, 2, 2), (8, 6, 6)])
         s3 = sums()
-        amp_bot = (4.0 * _roll2(s3, 1, 0) - _roll2(s3, 2, 0)) / 3.0
+        amp_bot = (4.0 * _roll2(s3, 1, 0) - _roll2(s3, 2, 0)) * (1.0 / 3.0)
         m_bot = row_mask(1)
         for i in range(3):
             gs[i] = triplet(gs[i], amp_bot[i], m_bot,
@@ -367,7 +367,7 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
         # species outlet corner equilibrium (reference Boundaries_Comp
         # :2185-2275); Y_lok extrapolates from post-row-fix neighbours
         s2 = jnp.stack([sum(gs[i][1:], gs[i][0]) for i in range(2)])
-        Ylok2 = (4.0 * _roll2(s2, 0, -1) - _roll2(s2, 0, -2)) / 3.0
+        Ylok2 = (4.0 * _roll2(s2, 0, -1) - _roll2(s2, 0, -2)) * (1.0 / 3.0)
         rho_c, ux_c, uy_c = macro_uv(f_bc)
         usqr_c = 1.5 * (ux_c * ux_c + uy_c * uy_c)
         cu_c = cu_of(ux_c, uy_c)
@@ -396,8 +396,8 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
         Wq = _roll2(q, 0, -1)
         Nq = _roll2(q, 1, 0)
         Sq = _roll2(q, -1, 0)
-        gx = (E - Wq) / 2.0
-        gy = (Nq - Sq) / 2.0
+        gx = (E - Wq) * 0.5
+        gy = (Nq - Sq) * 0.5
         NN = _roll2(q, 2, 0)
         SS = _roll2(q, -2, 0)
         EE = _roll2(q, 0, 2)

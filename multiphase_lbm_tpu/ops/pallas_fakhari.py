@@ -152,9 +152,12 @@ def _make_kernel(p: FakhariParams, ny, nx, Ty, nsub, halo, halo_in=False):
         sum_diag = SDp[0] + SDm[0]
         gx_diag = SDp[1] + SDm[1]
         gy_diag = SDp[0] - SDm[0]
-        gx = 3.0 * (Dx / 9.0 + gx_diag / 36.0)
-        gy = 3.0 * (Dy / 9.0 + gy_diag / 36.0)
-        lap = 6.0 * ((Sx + Sy) / 9.0 + sum_diag / 36.0 - (5.0 / 9.0) * q)
+        # constant divides are real multi-pass VPU ops under IEEE
+        # semantics: fold them into multiplies
+        gx = Dx * (1.0 / 3.0) + gx_diag * (1.0 / 12.0)
+        gy = Dy * (1.0 / 3.0) + gy_diag * (1.0 / 12.0)
+        lap = (Sx + Sy) * (2.0 / 3.0) + sum_diag * (1.0 / 6.0) \
+            - (10.0 / 3.0) * q
         return gx, gy, lap
 
     def fields(hb, gb):

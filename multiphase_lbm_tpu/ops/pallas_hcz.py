@@ -58,10 +58,11 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
     assert 1 <= nsub <= halo // REACH, (nsub, halo)
 
     def cs_pressure(r):
-        rt = p.b * r / 4.0
+        rt = r * float(p.b / 4.0)
         om = 1.0 - rt
-        return (r / 3.0) * (1.0 + rt + rt * rt - rt ** 3) / (om * om * om) \
-            - p.a * r * r
+        # one array divide (by om^3); the constant divides are folded
+        return (r * (1.0 / 3.0)) * (1.0 + rt + rt * rt - rt ** 3) \
+            / (om * om * om) - p.a * r * r
 
     def kernel(f_hbm, g_hbm, m_hbm, outf_ref, outg_ref, fbuf, gbuf, mbuf, sem):
         i = pl.program_id(0)
@@ -152,9 +153,9 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
         for k in range(1, 9):
             phi = phi + fb[k]
             Pterm = Pterm + gb[k]
-        rho = p.rho_g + (phi - p.phi_g) / dphi * drho
-        psi_phi = cs_pressure(phi) - phi / 3.0
-        psi_rho = cs_pressure(rho) - rho / 3.0
+        rho = p.rho_g + (phi - p.phi_g) * float(drho / dphi)
+        psi_phi = cs_pressure(phi) - phi * (1.0 / 3.0)
+        psi_rho = cs_pressure(rho) - rho * (1.0 / 3.0)
 
         # ── stencil pass A: lap(phi) + grad(psi_rho/psi_phi/rho), all
         # four fields on ONE (4, y, x) stack whose 8 neighbor shifts share
@@ -209,8 +210,8 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
         # multi-pass); eqf/phi_safe below likewise shares one reciprocal
         # across all nine directions
         inv_rho3 = 3.0 / rho
-        ux = (momx + Fx / 6.0) * inv_rho3
-        uy = (momy + Fy / 6.0) * inv_rho3
+        ux = (momx + Fx * (1.0 / 6.0)) * inv_rho3
+        uy = (momy + Fy * (1.0 / 6.0)) * inv_rho3
         P = Pterm + (0.5 / 3.0) * (ux * grx + uy * gry)
 
         usqr = 1.5 * (ux * ux + uy * uy)

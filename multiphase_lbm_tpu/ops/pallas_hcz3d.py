@@ -51,10 +51,11 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
     drho = p.rho_l - p.rho_g
 
     def cs_pressure(r):
-        rt = p.b * r / 4.0
+        rt = r * float(p.b / 4.0)
         om = 1.0 - rt
-        return (r / 3.0) * (1.0 + rt + rt * rt - rt ** 3) / (om * om * om) \
-            - p.a * r * r
+        # one array divide (by om^3); the constant divides are folded
+        return (r * (1.0 / 3.0)) * (1.0 + rt + rt * rt - rt ** 3) \
+            / (om * om * om) - p.a * r * r
 
     def kernel(f_hbm, g_hbm, outf_hbm, outg_hbm, fbuf, gbuf, sem):
         i = pl.program_id(0)
@@ -119,8 +120,8 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
         for k in range(1, Q):
             phi = phi + fb[k]
             Pterm = Pterm + gb[k]
-        rho = p.rho_g + (phi - p.phi_g) / dphi * drho
-        psi_phi = cs_pressure(phi) - phi / 3.0
+        rho = p.rho_g + (phi - p.phi_g) * float(drho / dphi)
+        psi_phi = cs_pressure(phi) - phi * (1.0 / 3.0)
 
         def grad(q):
             """∇q with the 18 neighbor reads sharing separable rolls
@@ -183,13 +184,13 @@ def _make_kernel(p: HCZParams, nz, ny, nx, Tz, nsub: int = 1,
         # per-direction forcing divides below (VPU divides are multi-pass)
         inv_rho = 1.0 / rho
         inv_rho3 = 3.0 * inv_rho
-        ux = (momx + Fx / 6.0) * inv_rho3
-        uy = (momy + Fy / 6.0) * inv_rho3
-        uz = (momz + Fz / 6.0) * inv_rho3
+        ux = (momx + Fx * (1.0 / 6.0)) * inv_rho3
+        uy = (momy + Fy * (1.0 / 6.0)) * inv_rho3
+        uz = (momz + Fz * (1.0 / 6.0)) * inv_rho3
         # total_P (laplace3D.h:318-330): P_term − ½ u·∇ψφ
         P = Pterm - 0.5 * (ux * gppx + uy * gppy + uz * gppz)
         # E-field: ∇(P − ρ/3), materialised (laplace3D.h:333-337)
-        psi_rho3 = P - rho / 3.0
+        psi_rho3 = P - rho * (1.0 / 3.0)
         gprx, gpry, gprz = grad(psi_rho3)
 
         usqr = 1.5 * (ux * ux + uy * uy + uz * uz)
