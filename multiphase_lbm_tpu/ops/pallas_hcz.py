@@ -206,16 +206,20 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
                 momx = momx + float(cx) * gb[k]
             if cy:
                 momy = momy + float(cy) * gb[k]
-        # one reciprocal serves both velocity components (VPU divides are
-        # multi-pass); eqf/phi_safe below likewise shares one reciprocal
-        # across all nine directions
-        inv_rho3 = 3.0 / rho
-        ux = (momx + Fx * (1.0 / 6.0)) * inv_rho3
-        uy = (momy + Fy * (1.0 / 6.0)) * inv_rho3
+        # NOTE: divide forms kept deliberately. Hoisting one reciprocal
+        # (inv_rho3 = 3/rho reused by ux/uy; 1/phi_safe reused by all nine
+        # eqf_over terms) looks cheaper on the TPU VPU, but the
+        # multi-consumer reciprocal triggers an XLA-CPU fusion-duplication
+        # pathology in the interpret-mode CI oracle: the nsub=5 halo
+        # kernel's runtime explodes 0.14 s -> ~200 s (bisected
+        # empirically, round 3; value clamps don't help, so it is a
+        # fusion-structure issue, not denormals).
+        ux = (momx + Fx * (1.0 / 6.0)) / (rho * (1.0 / 3.0))
+        uy = (momy + Fy * (1.0 / 6.0)) / (rho * (1.0 / 3.0))
         P = Pterm + (0.5 / 3.0) * (ux * grx + uy * gry)
 
         usqr = 1.5 * (ux * ux + uy * uy)
-        inv_phi = 1.0 / jnp.where(mb > 0.5, phi, 1.0)
+        phi_safe = jnp.where(mb > 0.5, phi, 1.0)
         half = 1.0 - 0.5 * p.omega
         uF = ux * Fx + uy * Fy
         uE = ux * gprx + uy * gpry
@@ -231,7 +235,7 @@ def _make_kernel(p: HCZParams, ny: int, nx: int, Ty: int,
             e_u_F = (cx * Fx + cy * Fy) - uF
             e_u_E = (cx * gprx + cy * gpry) - uE
             e_u_G = (cx * gppx + cy * gppy) - uGp
-            eqf_over = eqf * inv_phi
+            eqf_over = eqf / phi_safe
             fg = half * (e_u_F * eqf_over + (-e_u_E) * (eqf_over - float(w[k])))
             ff = half * (-e_u_G) * 3.0 * eqf_over
             pf = ((1.0 - p.omega) * fb[k] + p.omega * eqf + ff) * mb
