@@ -255,10 +255,12 @@ def _make_kernel(p: FakhariParams, ny, nx, Ty, nsub, halo, halo_in=False):
                 momx = momx + cx * g2[k]
             if cy:
                 momy = momy + cy * g2[k]
-        # one reciprocal serves both components (VPU divides are multi-pass)
-        inv_rho2 = 0.5 / (rho2 + EPS_C)
-        ux2 = momx + Fx2 * inv_rho2
-        uy2 = momy + Fy2 * inv_rho2
+        # divide form kept deliberately: a shared 0.5/(rho2+EPS_C)
+        # reciprocal triggers the same XLA-CPU fusion-duplication
+        # pathology as pallas_hcz (temporal-blocking CI test 4.8 s -> 20 s
+        # warm); see pallas_hcz.py step_block for the bisection notes
+        ux2 = momx + 0.5 * Fx2 / (rho2 + EPS_C)
+        uy2 = momy + 0.5 * Fy2 / (rho2 + EPS_C)
         return h2, g2, (ux2, uy2)
 
     def kernel(h_hbm, g_hbm, u_hbm, outh_ref, outg_ref, outu_ref,
