@@ -6,7 +6,6 @@ roll-semantics fixes land once.  ``pallas_fakhari`` keeps its own
 ``_pick_tile`` (dynamic target, no above-target fallback — a different
 policy), but shares :func:`roll2`.
 """
-from jax.experimental import pallas as pl  # noqa: F401  (kernel context)
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -20,7 +19,8 @@ def pick_tile(n: int, target: int = 64, minimum: int = 8) -> int:
         if n % t == 0 and t >= minimum:
             best = t
     if best == 0:
-        for t in range(max(8, minimum), n + 1, 8):
+        start = ((max(8, minimum) + 7) // 8) * 8   # keep 8-alignment even
+        for t in range(start, n + 1, 8):           # for unaligned `minimum`
             if n % t == 0:
                 return t
         raise ValueError(f"n={n} has no stripe height that is a multiple "

@@ -52,6 +52,11 @@ HALO = 8
 _pick_tile = kernel_utils.pick_tile
 _roll2 = kernel_utils.roll2
 
+# the 8 moving directions for fwd_shifts IN THE TRANSPOSED LAYOUT:
+# sublane = x, lane = y, so the (lane, sublane) pair passed is (cy, cx)
+_DIRS_T = {k: (int(D2Q9.c[k][1]), int(D2Q9.c[k][0]))
+           for k in range(9) if int(D2Q9.c[k][0]) or int(D2Q9.c[k][1])}
+
 
 def _make_kernel(p: SCRTParams, nx: int, nyL: int, ny_phys: int, Ty: int,
                  nsub: int, halo: int, halo_in: bool = False):
@@ -110,10 +115,7 @@ def _make_kernel(p: SCRTParams, nx: int, nyL: int, ny_phys: int, Ty: int,
         # (reference force_ff :237-293; eos.psi_exponential)
         psi = 1.0 - jnp.exp(-rho)
         # ψ at (x+cx, y+cy) for all 8 directions via separable rolls
-        # (transposed layout: sublane = x, lane = y → pass (cy, cx))
-        fwd = kernel_utils.fwd_shifts(
-            psi, {k: (cy, cx) for k, (cx, cy) in enumerate(Ci)
-                  if cx or cy})
+        fwd = kernel_utils.fwd_shifts(psi, _DIRS_T)
         fx = jnp.zeros_like(rho)
         fy = jnp.zeros_like(rho)
         for k in range(9):

@@ -128,6 +128,9 @@ def calibrate_gravity(nx: int = 32, ny: int = 64, steps: int = 30,
 
 
 if __name__ == "__main__":
+    # the axon sitecustomize pins the TPU platform, which has no float64;
+    # these demos are CPU-scale (like validation/pulsatile_fullrun.py)
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     print("Taylor-Green viscosity calibration (tau_true=0.8, start 0.65):")
     tau = calibrate_tau(verbose=True)

@@ -5,7 +5,9 @@ tiny lattice for 2 steps.
 Catches wiring regressions in the 500-line runners/apps.py surface that
 the model-level tests can't see (argument plumbing, config key reads,
 output-file naming).  The combustion problem has its own deeper CLI
-tests (tests/test_combustion.py) and is excluded here.
+tests (tests/test_combustion.py) and is excluded here;
+PulsatileBloodFlow2D takes --N instead of a config and gets its own
+test below.
 """
 import os
 
@@ -39,6 +41,15 @@ def _tiny_config(src, dst, n=16):
         lines.append(line)
     with open(dst, "w") as fh:
         fh.writelines(lines)
+
+
+def test_pulsatile_cli_runs_end_to_end(tmp_path):
+    outdir = tmp_path / "out"
+    rc = coolbm.main(["PulsatileBloodFlow2D", "--N", "16",
+                      "--outdir", str(outdir), "--steps", "2"])
+    assert rc == 0
+    produced = os.listdir(outdir)
+    assert any(name.startswith("sol_") for name in produced), produced
 
 
 @pytest.mark.parametrize("problem", sorted(CASES))

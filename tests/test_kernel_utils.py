@@ -19,10 +19,15 @@ from multiphase_lbm_tpu.ops import kernel_utils as ku
 def test_pick_tile_policy():
     assert ku.pick_tile(2048) == 64
     assert ku.pick_tile(2048, target=32) == 32
-    assert ku.pick_tile(40, minimum=16) == 40      # fallback above target=64? 40<64: largest div of 40 that is mult of 8 and >=16
+    assert ku.pick_tile(40, minimum=16) == 40   # only 8-multiple divisor ≥ 16
+    assert ku.pick_tile(24, minimum=12) == 24   # first loop, 8-aligned
     assert ku.pick_tile(1026 - 2) == 64            # 1024
     with pytest.raises(ValueError):
         ku.pick_tile(12)                           # no 8-multiple divisor
+    with pytest.raises(ValueError):
+        # the fallback never returns a misaligned tile: 12 divides 36 but
+        # is not a multiple of 8, so this must fail rather than return 12
+        ku.pick_tile(36, minimum=12)
 
 
 def _run_interpret(fn, *arrays):
