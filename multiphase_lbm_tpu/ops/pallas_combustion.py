@@ -798,7 +798,11 @@ def step_fused_halo(args8, m9_ext, m2_ext, row0, p: CombustionParams,
     assert nx == p.nx, (nx, p.nx)
     Ty = tile or pick_stripe_tile(ny_loc, nx, halo=halo)
     assert ny_loc % Ty == 0, (ny_loc, Ty)
-    nsub = min(nsub, halo // STRIPE_REACH)
+    # Loud, like every sibling building block (pallas_hcz/_fakhari/_scrt):
+    # silently clamping nsub would advance fewer steps than the caller's
+    # outer loop counts and de-synchronize a multi-chip trajectory.
+    assert 1 <= nsub <= halo // STRIPE_REACH, (
+        f"nsub={nsub} needs halo >= {STRIPE_REACH * nsub} (got {halo})")
     nx_arr = -(-nx // 128) * 128
     if nx_arr != nx:
         xpad = ((0, 0), (0, 0), (0, nx_arr - nx))

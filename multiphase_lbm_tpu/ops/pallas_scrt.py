@@ -75,6 +75,10 @@ def _make_kernel(p: SCRTParams, nx: int, nyL: int, ny_phys: int, Ty: int,
     nprog = nx // Ty
     assert halo_in or nprog == 1 or Ty >= halo, (Ty, halo)
     assert 1 <= nsub <= halo // 2, (nsub, halo)
+    # The DMA offsets i*Ty and x0-halo are stamped pl.multiple_of(·, 8);
+    # a caller-passed tile/halo that isn't 8-aligned would assert a false
+    # fact to Mosaic (misaligned sublane DMA = silently wrong on hardware).
+    assert Ty % 8 == 0 and halo % 8 == 0, (Ty, halo)
     omega = float(p.omega)
     gcoup = float(p.g)
     grav = float(p.gravity)

@@ -131,9 +131,12 @@ def compare(sim, gold):
     assert len(sim) == len(gold)
 
     def wall_err(s, g):
-        we = np.maximum(np.abs(s["lo"] - g["lo"]),
-                        np.abs(s["hi"] - g["hi"])).astype(float)
-        return we[we < 100]          # both-solid sentinel columns
+        # Sentinels (all-solid column): lo = ny, hi = -1.  A column solid
+        # in BOTH trajectories contributes 0; one solid in only ONE
+        # contributes an O(ny) error — deliberately: it IS a wall
+        # disagreement the late-regime gate must see.
+        return np.maximum(np.abs(s["lo"] - g["lo"]),
+                          np.abs(s["hi"] - g["hi"])).astype(float)
 
     n = len(sim)
     early = [i for i in range(n) if sim[i]["t"] <= 27]
