@@ -702,9 +702,9 @@ def stream_temperature(post_gas, post_solid, gT_old, tab, p: CombustionParams):
         ko = int(OPP[k])
         cx, cy = int(C[k, 0]), int(C[k, 1])
         pulled = _pull(post, k)
-        # links whose upstream is across a gas/solid interface: keep old
-        up_gas_iface = jnp.asarray(tab["is_obst"] & tab["nb_bulk"][k])    # at upstream coords?
-        # receiving cell j: upstream j−c_k; interface if (upstream obst & j bulk) or (upstream bulk & j obst)
+        # links whose upstream is across a gas/solid interface: receiving
+        # cell j reads upstream j−c_k; interface iff exactly one side is
+        # an obstacle
         up_is_obst = jnp.roll(is_obst, (cy, cx), axis=(0, 1))
         up_is_bulk = jnp.roll(is_bulk, (cy, cx), axis=(0, 1))
         iface = (up_is_obst & is_bulk) | (up_is_bulk & is_obst)

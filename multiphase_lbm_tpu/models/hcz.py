@@ -298,11 +298,16 @@ def apply_geometry(state, fluid):
 
 
 # ─── diagnostics ───────────────────────────────────────────────────────────
-def interface_heights(phi_host: np.ndarray, p: HCZParams):
+def interface_heights(phi_host: np.ndarray, p: HCZParams, ny_fluid=None):
     """Spike/bubble y positions (reference findInterfaceHeights, :668-708):
     topmost y (scanning down from ny−2) where φ ≤ φ_mid, at x=0 (named
-    'bubble' in the reference) and x=nx/2 ('spike')."""
+    'bubble' in the reference) and x=nx/2 ('spike').  ``ny_fluid`` bounds
+    the scan when the lattice carries extra padded solid rows (fused-path
+    8-multiple padding): pad rows hold φ = 0 ≤ φ_mid and would otherwise
+    swamp the scan."""
     ny, nx = phi_host.shape
+    if ny_fluid is not None:
+        ny = ny_fluid
     phi_mid = 0.5 * (p.phi_l + p.phi_g)
 
     def scan_col(x):

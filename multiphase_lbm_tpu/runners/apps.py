@@ -21,7 +21,7 @@ from ..models import hcz
 from ..models import pulsatile as pb
 from ..models import shan_chen as sc
 from ..models import shan_chen_rt as rt
-from .common import Driver
+from .common import Driver, next_chunk
 
 
 def _num(cfg, key, default):
@@ -132,8 +132,7 @@ def _run_sc(p, f, fluid, steps, cfg, outdir, dx, dt, contact):
                                        np.asarray(fluid), p.rhol, p.rhog)
                 if res:
                     drv.log_file("contact_angle.dat").log(*res)
-        chunk = min(steps - it, max(1, min(drv.out_freq or steps,
-                                           drv.vtk_freq or steps)))
+        chunk = next_chunk(it, steps, drv.out_freq, drv.vtk_freq)
         f = sc.run(f, fluid, p, chunk)
         drv.clock.tick(chunk)
         it += chunk
@@ -174,10 +173,7 @@ def run_young_laplace2d(config, outdir, dtype=jnp.float64, max_steps=None,
                 m0 = m
             drv.log_file("energy.dat").log(it, e)
             drv.log_file("mass.dat").log(it, m)
-        chunk = min(steps - it + 1, max(1, min(drv.out_freq or steps,
-                                               drv.vtk_freq or steps)))
-        if chunk <= 0:
-            break
+        chunk = next_chunk(it, steps, drv.out_freq, drv.vtk_freq)
         if fused:
             from ..ops import pallas_fakhari
             state = pallas_fakhari.run_fused(*state, p, chunk)
@@ -205,11 +201,15 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None,
     ny0 = 4 * N + 2
     ny = ny0
     if fused:
-        # the fused kernel needs 8-multiple row counts; pad rows are marked
-        # solid below so the fluid domain is identical to the XLA run
+        # the fused kernel needs 8-multiple row counts; initialize on the
+        # UNPADDED grid (interface at the fluid-channel center, identical
+        # to the XLA run) and pad with solid rows after
         ny = ny0 + (8 - ny0 % 8) % 8
         dtype = jnp.float32
-    state = hcz.init_rayleigh_taylor(N, ny, p, dtype=dtype)
+    state = hcz.init_rayleigh_taylor(N, ny0, p, dtype=dtype)
+    if ny != ny0:
+        state = tuple(jnp.pad(a, ((0, 0), (0, ny - ny0), (0, 0)))
+                      for a in state)
     fluid = hcz.geometry_channel(N, ny)
     if ny != ny0:
         fluid = fluid.at[ny0 - 1:].set(False)   # extend the top wall band
@@ -230,8 +230,11 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None,
         if drv.want_out(it):
             e = float(hcz.kinetic_energy(state, fluid, p)) * dx * dx / (dt * dt)
             drv.log_file("energy.dat").log(it * dt, e)
+            # scan only the fluid extent: the padded solid rows have
+            # phi = 0 <= phi_mid and would swamp the interface scan
             s, b = hcz.interface_heights(
-                np.asarray(hcz.order_parameter(state[0])), p)
+                np.asarray(hcz.order_parameter(state[0])), p,
+                ny_fluid=ny0)
             drv.log_file("spike_bubble_position.dat").log(
                 it * dt, s * dx, b * dx)
             # finite-difference interface velocities over the output
@@ -245,8 +248,7 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None,
                     it * dt, (s * dx - s_prev) / dti,
                     (b * dx - b_prev) / dti)
             prev_sb = (it * dt, s * dx, b * dx)
-        chunk = min(steps - it, max(1, min(drv.out_freq or steps,
-                                           drv.vtk_freq or steps)))
+        chunk = next_chunk(it, steps, drv.out_freq, drv.vtk_freq)
         if fused:
             from ..ops import pallas_hcz
             # temporal blocking: 5 steps per HBM round-trip (reach 3/step,
@@ -295,7 +297,7 @@ def run_two_layered_pf(config, outdir, dtype=jnp.float64, max_steps=None):
             rho = np.asarray(hcz.rho_of_phi(hcz.order_parameter(state[0]), p))
             drv.log_file("density_probe.dat").log(
                 it * dt, float(rho[N // 2, N // 2]), float(rho[2, N // 2]))
-        chunk = min(steps - it, max(1, drv.out_freq or steps))
+        chunk = next_chunk(it, steps, drv.out_freq, drv.vtk_freq)
         state = hcz.run(state, fluid, p, chunk)
         drv.clock.tick(chunk)
         it += chunk
@@ -330,7 +332,7 @@ def run_laplace3d(config, outdir, dtype=jnp.float64, max_steps=None):
             e = float(hcz.kinetic_energy(state, fluid, p, hcz.D3Q19,
                                          three_d=True))
             drv.log_file("energy.dat").log(it * dt, e)
-        chunk = min(steps - it, max(1, drv.out_freq or steps))
+        chunk = next_chunk(it, steps, drv.out_freq, drv.vtk_freq)
         state = hcz.run(state, fluid, p, chunk, lattice=hcz.D3Q19,
                         three_d=True)
         drv.clock.tick(chunk)
@@ -382,7 +384,7 @@ def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None,
                                          np.asarray(fluid), p)
             drv.log_file("spike_bubble_position.dat").log(
                 it * dt, s * dx, bub * dx)
-        chunk = min(steps - it, max(1, drv.out_freq or steps))
+        chunk = next_chunk(it, steps, drv.out_freq, drv.vtk_freq)
         f = advance(f, chunk)
         drv.clock.tick(chunk)
         it += chunk
@@ -397,20 +399,24 @@ def run_pulsatile(outdir, N=64, dtype=jnp.float64, max_steps=None):
     tf = max_steps or (p.beat + 2 * p.t_propagation)
     step_freq = max(1, tf // 100)
     drv = Driver(outdir, p.nx * p.ny, out_freq=step_freq, vtk_freq=step_freq)
-    it = 0
-    while it <= tf:
-        chunk = min(tf - it + 1, step_freq)
+    # dump instants: POST-step times that are multiples of step_freq (the
+    # reference's tf/100 cadence — the archived golden run is sol_0000000,
+    # sol_0000027, …), plus the final step.  The loop advances so each
+    # chunk's last step IS the next dump instant; a fixed stride of
+    # step_freq from t=0 would land on t ≡ step_freq−1 and never dump.
+    dumps = sorted(set(range(0, tf + 1, step_freq)) | {tf})
+    it = 0                                   # next step index to run
+    for dump_t in dumps:
+        chunk = dump_t - it + 1
         state = pb.run(state, it, p, chunk)
         drv.clock.tick(chunk)
-        it += chunk
-        dump_t = it - 1
-        if drv.want_vtk(dump_t) or dump_t == tf:
-            drv.write_vtk(dump_t, p.nx, p.ny, spacing=1.0 / p.nx,
-                          scalars=[("P", np.asarray(state.P)),
-                                   ("Ux", np.asarray(state.Ux)),
-                                   ("Uy", np.asarray(state.Uy))],
-                          int_scalars=[("Flag",
-                                        (~np.asarray(state.fluid)).astype(int))])
+        it = dump_t + 1
+        drv.write_vtk(dump_t, p.nx, p.ny, spacing=1.0 / p.nx,
+                      scalars=[("P", np.asarray(state.P)),
+                               ("Ux", np.asarray(state.Ux)),
+                               ("Uy", np.asarray(state.Uy))],
+                      int_scalars=[("Flag",
+                                    (~np.asarray(state.fluid)).astype(int))])
     drv.finish()
     return state
 

@@ -1,7 +1,6 @@
 """Shared driver plumbing: output cadence, VTK/dat emission, MLUPS report."""
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np
@@ -52,12 +51,12 @@ class Driver:
         return self.clock.mlups
 
 
-def resolve_config(path_or_name, default_dir=None):
-    """Accept an explicit path or fall back to repo configs/ directory."""
-    if path_or_name and os.path.exists(path_or_name):
-        return path_or_name
-    base = Path(__file__).resolve().parents[2] / "configs"
-    cand = base / str(path_or_name)
-    if cand.exists():
-        return cand
-    return None
+def next_chunk(it, steps, *freqs):
+    """Steps to advance from ``it`` so the loop lands exactly on the next
+    diagnostic event: the smallest distance to a multiple of any nonzero
+    cadence, bounded by the end of the run.  A fixed stride of one cadence
+    silently skips the other's instants whenever they aren't multiples of
+    each other (e.g. out_freq=400, vtk_freq=1000 → dumps at 1000/3000
+    never land)."""
+    dists = [f - it % f for f in freqs if f]
+    return max(1, min([steps - it] + dists))

@@ -51,15 +51,20 @@ def run_regression(t_end=2.0, N=256, dtype=None, log_every=0.05,
     # dt = dx·ulb), so the LU gravity must scale as 1/N to stay the same
     # physical problem at higher resolution.
     p = hcz.HCZParams(omega=omega, gravity=-ulb * ulb / N, kappa=0.01)
-    ny = 4 * N + 2
+    ny0 = 4 * N + 2
+    ny = ny0
     if fused:
-        # fused kernel needs 8-multiple rows; pad rows are marked solid so
-        # the fluid domain is identical (runners/apps.py does the same)
-        ny = ny + (8 - ny % 8) % 8
-    state = hcz.init_rayleigh_taylor(N, ny, p, dtype=dtype)
+        # fused kernel needs 8-multiple rows; initialize on the UNPADDED
+        # grid (interface at the fluid-channel center, identical to the
+        # XLA run) and pad with solid rows after (runners/apps.py same)
+        ny = ny0 + (8 - ny0 % 8) % 8
+    state = hcz.init_rayleigh_taylor(N, ny0, p, dtype=dtype)
+    if ny != ny0:
+        state = tuple(jnp.pad(a, ((0, 0), (0, ny - ny0), (0, 0)))
+                      for a in state)
     fluid = hcz.geometry_channel(N, ny)
-    if ny != 4 * N + 2:
-        fluid = fluid.at[4 * N + 1:].set(False)
+    if ny != ny0:
+        fluid = fluid.at[ny0 - 1:].set(False)
     state = hcz.apply_geometry(state, fluid)
     m32 = fluid.astype(jnp.float32)
 

@@ -65,3 +65,37 @@ def test_problem_runs_end_to_end(problem, tmp_path):
     for frag in expected:
         assert any(frag in name for name in produced), (
             f"{problem}: no output matching {frag!r} in {produced}")
+
+
+def test_pulsatile_dump_cadence(tmp_path, monkeypatch):
+    """The runner must land each chunk's LAST step on the reference's
+    tf/100 dump cadence (archived run: sol_0000000, sol_0000027, …).
+    A fixed stride from t=0 lands on t ≡ step_freq−1 and writes only the
+    final dump.  Checked with the physics stubbed out (pure loop
+    arithmetic + dump labels)."""
+    from multiphase_lbm_tpu.models import pulsatile as pb
+    from multiphase_lbm_tpu.runners import apps, common
+
+    import numpy as np
+
+    class _Stub:
+        P = Ux = Uy = np.zeros((4, 4))
+        fluid = np.ones((4, 4), bool)
+
+    calls = []
+    monkeypatch.setattr(pb, "initialize", lambda p, dtype: _Stub())
+    monkeypatch.setattr(pb, "run",
+                        lambda st, t0, p, n: calls.append((t0, n)) or st)
+    dumps = []
+    monkeypatch.setattr(common.Driver, "write_vtk",
+                        lambda self, it, *a, **k: dumps.append(it))
+    apps.run_pulsatile(tmp_path, N=64, max_steps=270)
+
+    # tf=270 -> step_freq=2: dumps at 0, 2, ..., 270
+    assert dumps == list(range(0, 271, 2))
+    # chunks tile the run exactly: first step of each chunk follows the
+    # previous dump, last step IS the dump instant
+    t = 0
+    for (t0, n), d in zip(calls, dumps):
+        assert t0 == t and t0 + n - 1 == d
+        t = d + 1
