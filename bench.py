@@ -14,8 +14,28 @@ warm, then time a run on a *fresh* input and force a small host readback.
 """
 import argparse
 import json
+import os
 import sys
+import threading
 import time
+
+
+def _backend_watchdog(seconds=240.0):
+    """The axon relay has multi-hour outages during which ANY backend use
+    (even jax.devices()) blocks forever rather than erroring.  Emit one
+    error JSON line and exit instead of hanging the caller; cancel once
+    the first device op completes."""
+    def _fire():
+        print(json.dumps({
+            "metric": "MLUPS_D2Q9_MRT_ShanChen",
+            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+            "error": f"TPU backend unreachable for {seconds:.0f}s "
+                     "(axon relay outage)"}), flush=True)
+        os._exit(2)
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def main():
@@ -32,8 +52,13 @@ def main():
                     help="benchmark the plain XLA path instead of Pallas")
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
+
+    wd = _backend_watchdog()
+    jax.jit(lambda a: a * 2)(jnp.ones(8)).block_until_ready()
+    wd.cancel()
 
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from multiphase_lbm_tpu.models import shan_chen as sc
