@@ -99,3 +99,36 @@ def test_pulsatile_dump_cadence(tmp_path, monkeypatch):
     for (t0, n), d in zip(calls, dumps):
         assert t0 == t and t0 + n - 1 == d
         t = d + 1
+
+
+def test_driver_lands_on_both_cadences(tmp_path):
+    """Mismatched out_freq/vtk_freq cadences must BOTH be honored: the
+    loop chunks to the nearest multiple of either (common.next_chunk).
+    Regression for the fixed-stride chunking that skipped vtk instants
+    not divisible by out_freq."""
+    src = os.path.join(CONFIG_DIR, "sc_Laplace2D.txt")
+    cfg = tmp_path / "cfg.txt"
+    lines = []
+    for line in open(src):
+        key = line.split()[0] if line.strip() and not line.startswith("#") \
+            else None
+        if key == "N":
+            line = "N    16\n"
+        elif key == "out_freq":
+            line = "out_freq    3\n"
+        elif key == "vtk_freq":
+            line = "vtk_freq    5\n"
+        lines.append(line)
+    cfg.write_text("".join(lines))
+    outdir = tmp_path / "out"
+    rc = coolbm.main(["laplace2D_sc", "--config", str(cfg),
+                      "--outdir", str(outdir), "--steps", "11"])
+    assert rc == 0
+    sols = sorted(f for f in os.listdir(outdir) if f.startswith("sol_"))
+    assert sols == ["sol_0000000.vtk", "sol_0000005.vtk",
+                    "sol_0000010.vtk"], sols
+    # energy.dat logged at every out_freq multiple < steps
+    steps_logged = [float(r.split()[0])
+                    for r in (outdir / "energy.dat").read_text().split("\n")
+                    if r.strip()]
+    assert len(steps_logged) == 4           # it = 0, 3, 6, 9
