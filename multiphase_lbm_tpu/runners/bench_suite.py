@@ -28,22 +28,13 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 
 def _timed(fn, state, mk_fresh, n_steps, cells):
-    """Compile+warm on ``state``, then time ``fn`` on a fresh input."""
-    import jax
-    import numpy as np
+    """Relay-safe timing protocol (utils.profiling.measure_mlups)."""
+    from ..utils.profiling import measure_mlups
 
-    out = fn(state)
-    jax.tree_util.tree_map(lambda a: np.asarray(a.ravel()[:4]), out)
-    fresh = mk_fresh(state)
-    t0 = time.perf_counter()
-    out = fn(fresh)
-    jax.tree_util.tree_map(lambda a: np.asarray(a.ravel()[:4]), out)
-    dt = time.perf_counter() - t0
-    return cells * n_steps / dt / 1e6, dt * 1e3 / n_steps
+    return measure_mlups(fn, state, n_steps, cells, perturb=mk_fresh)
 
 
 def _perturb_first(s):

@@ -32,18 +32,19 @@ def measure_mlups(step_n_fn, state0, n_steps: int, nelem: int,
 
     Protocol: compile+run once, then time a run on a *fresh* input (so no
     cached result can be returned) and force completion with a small host
-    readback.  Returns MLUPS = nelem * n_steps / seconds / 1e6.
+    readback of every output leaf.  Returns ``(mlups, ms_per_step)`` with
+    MLUPS = nelem * n_steps / seconds / 1e6 (the reference's printMlups
+    definition).  This is the protocol behind every BASELINE.md figure;
+    ``runners/bench_suite.py`` drives it for all workloads.
     """
     import jax
 
-    out = step_n_fn(state0)
-    leaves = jax.tree.leaves(out)
-    np.asarray(leaves[0].ravel()[:4])
+    def sync(out):
+        jax.tree_util.tree_map(lambda a: np.asarray(a.ravel()[:4]), out)
 
+    sync(step_n_fn(state0))
     state1 = perturb(state0)
     t0 = time.perf_counter()
-    out = step_n_fn(state1)
-    leaves = jax.tree.leaves(out)
-    np.asarray(leaves[0].ravel()[:4])
+    sync(step_n_fn(state1))
     dt = time.perf_counter() - t0
-    return nelem * n_steps / dt / 1e6
+    return nelem * n_steps / dt / 1e6, dt * 1e3 / n_steps
