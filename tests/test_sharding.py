@@ -119,3 +119,24 @@ def test_fused_combustion_multichip():
     shard_map exchange (nsub=2) matches the XLA oracle, with the obstacle
     block and wall/inlet/outlet BC rows split across shards."""
     _run_check("combustion", n_devices=4, nsub=2)
+
+
+def test_dryrun_multichip_is_relay_proof():
+    """The driver gate (``__graft_entry__.dryrun_multichip``) must complete
+    in a fresh process with the axon (TPU) default env intact — i.e. without
+    ever initializing the default backend.  Round-3 regression: a
+    ``jax.devices()`` call on the axon backend before the CPU fallback hung
+    forever during a relay outage (MULTICHIP_r03.json rc=124)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8)"],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert r.returncode == 0, f"dryrun failed:\n{r.stdout}\n{r.stderr}"
+    assert "fused combustion shard_map path OK" in r.stdout
