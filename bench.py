@@ -20,17 +20,18 @@ import threading
 import time
 
 
-def _backend_watchdog(seconds=240.0):
+def _backend_watchdog(seconds=240.0, stage="probe"):
     """The axon relay has multi-hour outages during which ANY backend use
-    (even jax.devices()) blocks forever rather than erroring.  Emit one
-    error JSON line and exit instead of hanging the caller; cancel once
-    the first device op completes."""
+    (even jax.devices()) blocks forever rather than erroring — including
+    outages that BEGIN mid-run.  Arm a timer per stage (probe / compile /
+    timed run) that emits one error JSON line and exits instead of hanging
+    the caller; cancel after the stage's readback completes."""
     def _fire():
         print(json.dumps({
             "metric": "MLUPS_D2Q9_MRT_ShanChen",
             "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
             "error": f"TPU backend unreachable for {seconds:.0f}s "
-                     "(axon relay outage)"}), flush=True)
+                     f"during {stage} (axon relay outage)"}), flush=True)
         os._exit(2)
     t = threading.Timer(seconds, _fire)
     t.daemon = True
@@ -50,6 +51,9 @@ def main():
                     help="stripe halo rows (must be >= 2*nsub, 8-aligned)")
     ap.add_argument("--no-fused", action="store_true",
                     help="benchmark the plain XLA path instead of Pallas")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timing repetitions (median reported; spread "
+                         "in the JSON)")
     args = ap.parse_args()
 
     import jax
@@ -82,25 +86,34 @@ def main():
                                        nsub=args.nsub, halo=args.halo)
         label = "Pallas"
 
-    out = step_n(f)
-    np.asarray(out[0, 0, :8])          # compile + run + sync
-    f2 = f * jnp.float32(1.000001)     # fresh input so nothing is cached
-    t0 = time.perf_counter()
-    out = step_n(f2)
-    np.asarray(out[0, 0, :8])          # force completion
-    dt = time.perf_counter() - t0
+    from multiphase_lbm_tpu.utils.profiling import measure_mlups
 
-    mlups = n * n * args.steps / dt / 1e6
+    # remote Pallas compile goes through a compile server and can take
+    # minutes; an outage starting mid-compile would otherwise hang forever
+    wd = _backend_watchdog(900.0, stage="compile+timed run")
+    mlups, _, spread = measure_mlups(
+        step_n, f, args.steps, n * n,
+        perturb=lambda s: s * jnp.float32(1.000001), reps=args.reps)
+    out = step_n(f)
     # reduce on device; pulling the full array over the axon tunnel is slow
-    assert bool(jnp.isfinite(jnp.sum(out))), "non-finite state after benchmark"
+    finite = bool(jnp.isfinite(jnp.sum(out)))
+    wd.cancel()
+    assert finite, "non-finite state after benchmark"
 
     target = 2000.0  # BASELINE.json north star
-    print(json.dumps({
+    rec = {
         "metric": f"MLUPS_D2Q9_{args.collision.upper()}_ShanChen_{n}x{n}_{label}",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / target, 4),
-    }))
+        "spread": round(spread, 4),
+    }
+    # one chip: a concurrent process corrupts timings by 1.3-30x
+    # (ARCHITECTURE.md); a rep spread far above the ~±12% serial-chip
+    # session noise is the fingerprint — tag the number as untrustworthy
+    if spread > 0.3:
+        rec["contended"] = True
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

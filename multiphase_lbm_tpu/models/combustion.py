@@ -431,7 +431,12 @@ def apply_scalar_bcs(g, amp_inlet, p: CombustionParams, species=False,
                     - col1[k_in]
                     for k_in, k_w, k_out in [(5, 7, 7), (1, 3, 3),
                                              (8, 6, 6)]))
-    # x=nx−1 override: rows of col nx−1 after their outlet zero-gradient fix
+    # x=nx−1 override: rows of col nx−1 after their outlet zero-gradient fix.
+    # amp_out is INTENTIONALLY the entry-time extrapolation (pre top/bottom/
+    # inlet row fixes): the reference's outlet reads columns nx−2/nx−3,
+    # whose row-fixed cells are excluded from the outlet mask — do not
+    # "fix" this to use the post-fix macro (gated by the 500-step C++
+    # parity test and mirrored in ops/pallas_combustion.py).
     amp_out = (4.0 * m[:, nx - 2] - m[:, nx - 3]) / 3.0
     colo = g[:, :, nx - 1]
     mo_fix = (m[:, nx - 1]

@@ -447,6 +447,7 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
                    flow_steps=20000, scalar_steps=5000, T_solid=None,
                    conj_scheme="li2014", restart=None, save_flow=True,
                    benchmark=False, bench_ini_iter=1000, bench_max_iter=2000,
+                   topology="inflow_outflow", u_lid=0.002, dpdx=0.0,
                    fused=None):
     """Two-stage combustion driver (reference main :4074-4496).
 
@@ -456,10 +457,18 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
     writes the converged field back out (Ausgabeoption_f, :3158-3178).
     ``benchmark`` reproduces the reference bench mode (:4376-4380): flow-only
     stepping, clock reset after ``bench_ini_iter`` warmup iterations, MLUPS
-    over the remaining ``bench_max_iter − bench_ini_iter``."""
+    over the remaining ``bench_max_iter − bench_ini_iter``.
+
+    ``topology`` selects the reference's compile-time domain branches
+    (:154-254, :3756-4073): cavity (moving lid ``u_lid``), couette
+    (moving top wall, periodic x), poiseuille (body force ``dpdx``,
+    periodic x), or the default reactive inflow/outflow channel.  The
+    Xu-2018 obstacles exist only in the inflow/outflow case (:3995-4029)."""
     from ..io import checkpoint as ckpt
 
-    p = cb.CombustionParams(nx=nx, ny=ny, conj_scheme=conj_scheme)
+    p = cb.CombustionParams(nx=nx, ny=ny, conj_scheme=conj_scheme,
+                            topology=topology, u_lid=u_lid, dpdx=dpdx,
+                            with_obstacles=(topology == "inflow_outflow"))
     flags, _ = cb.build_geometry(p)
     tab = cb.build_static_tables(flags, p)
 

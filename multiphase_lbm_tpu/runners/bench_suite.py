@@ -30,11 +30,12 @@ import json
 import sys
 
 
-def _timed(fn, state, mk_fresh, n_steps, cells):
+def _timed(fn, state, mk_fresh, n_steps, cells, reps=3):
     """Relay-safe timing protocol (utils.profiling.measure_mlups)."""
     from ..utils.profiling import measure_mlups
 
-    return measure_mlups(fn, state, n_steps, cells, perturb=mk_fresh)
+    return measure_mlups(fn, state, n_steps, cells, perturb=mk_fresh,
+                         reps=reps)
 
 
 def _perturb_first(s):
@@ -94,7 +95,8 @@ def _wl_hcz2048(quick, interpret):
     kw = dict(tile=40, nsub=5, halo=16)
     f, g = hcz.init_rayleigh_taylor(nx, ny, p, dtype=jnp.float32)
     fl = hcz.geometry_channel(nx, ny).astype(jnp.float32)
-    return (lambda s: pallas_hcz.run_fused(s[0], s[1], fl, p, steps, **kw),
+    return (lambda s: pallas_hcz.run_fused(s[0], s[1], fl, p, steps,
+                                           interpret=interpret, **kw),
             (f, g), _perturb_first, steps, nx * ny,
             f"{nx}x{ny} RTI-2048 {kw}")
 
@@ -156,7 +158,8 @@ def _wl_combustion(quick, interpret):
     st = cb.initialize(p, dtype=jnp.float32)
     st = cb.run(st, p, 1, first_step=True)
     steps = 500
-    return (lambda s: pc.run_fused(s, p, steps), st, _perturb_first,
+    return (lambda s: pc.run_fused(s, p, steps, interpret=interpret),
+            st, _perturb_first,
             steps, p.nx * p.ny, "420x80 reactive (sustained, 4 pops)")
 
 
@@ -172,7 +175,8 @@ def _wl_combustion_striped(quick, interpret):
     st = cb.run(st, p, 1, first_step=True)
     steps = 500
     kw = dict(stripe_tile=40, halo=16, nsub=4)
-    return (lambda s: pc.run_fused(s, p, steps, **kw), st, _perturb_first,
+    return (lambda s: pc.run_fused(s, p, steps, interpret=interpret, **kw),
+            st, _perturb_first,
             steps, p.nx * p.ny, f"840x160 striped {kw}")
 
 
@@ -189,10 +193,12 @@ def _wl_pulsatile(quick, interpret):
     st = pm.step(st, 0, p)
     steps = 1000
     # fresh input = a different waveform phase (t0 is a traced input),
-    # not a perturbed state: the geometry buffers must stay consistent
+    # not a perturbed state: the geometry buffers must stay consistent.
+    # Incrementing t keeps every timing rep's input distinct.
     return (lambda s_t: pfull.run_fused_full(s_t[0], s_t[1], p, steps,
-                                             nsub=8)[0],
-            (st, 1), lambda s_t: (s_t[0], 2), steps, p.nx * p.ny,
+                                             nsub=8,
+                                             interpret=interpret)[0],
+            (st, 1), lambda s_t: (s_t[0], s_t[1] + 1), steps, p.nx * p.ny,
             f"{p.nx}x{N} deformable whole-step (windowed; full-run "
             "figure: validation/pulsatile_fullrun.py)")
 
@@ -216,31 +222,43 @@ def main(argv=None):
     ap.add_argument("workloads", nargs="*", default=[],
                     help=f"subset of {list(WORKLOADS)} (default: all)")
     ap.add_argument("--quick", action="store_true",
-                    help="tiny shapes, interpreter mode (CPU smoke — "
-                         "checks the harness, measures nothing)")
+                    help="tiny shapes (CPU smoke — checks the harness, "
+                         "measures nothing); implies --interpret")
+    ap.add_argument("--interpret", action="store_true",
+                    help="run Pallas kernels in interpreter mode (any "
+                         "shape, incl. the big configs — slow)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timing repetitions; the JSON reports the median "
+                         "and the (max-min)/median spread")
     args = ap.parse_args(argv)
 
     names = args.workloads or list(WORKLOADS)
-    results = []
+    errors = 0
     for name in names:
         build, ref_mlups = WORKLOADS[name]
-        wl = build(args.quick, args.quick)
+        wl = build(args.quick, args.quick or args.interpret)
         if wl is None:
+            # visible skip (rc stays 0): selecting only quick-exempt
+            # workloads must not look like a harness failure
+            print(json.dumps({"workload": name, "skipped": "quick"}),
+                  flush=True)
             continue
         fn, state, mk_fresh, steps, cells, desc = wl
         try:
-            mlups, ms = _timed(fn, state, mk_fresh, steps, cells)
+            mlups, ms, spread = _timed(fn, state, mk_fresh, steps, cells,
+                                       reps=args.reps)
         except Exception as e:                       # keep the sweep going
+            errors += 1
             print(json.dumps({"workload": name, "error":
                               f"{type(e).__name__}: {e}"[:300]}))
             continue
         rec = {"workload": name, "config": desc,
                "mlups": round(mlups, 1), "ms_per_step": round(ms, 4),
+               "spread": round(spread, 4),
                "vs_cpp_core": (round(mlups / ref_mlups, 0)
                                if ref_mlups else None)}
-        results.append(rec)
         print(json.dumps(rec), flush=True)
-    return 0 if results else 1
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

@@ -62,6 +62,18 @@ def main(argv=None):
     ap.add_argument("--scheme", default="li2014",
                     choices=["li2014", "guo2015", "huber2015", "none"],
                     help="conjugate-heat scheme for the combustion problem")
+    ap.add_argument("--topology", default="inflow_outflow",
+                    choices=["inflow_outflow", "cavity", "couette",
+                             "poiseuille"],
+                    help="combustion domain topology (reference global "
+                         "flags, CooLBM_MRT_combustion.cpp:154-254; "
+                         "geometry branches :3756-4073)")
+    ap.add_argument("--u-lid", type=float, default=0.002,
+                    help="combustion lid/moving-wall speed for cavity/"
+                         "couette (reference ulb default, :53)")
+    ap.add_argument("--dpdx", type=float, default=0.0,
+                    help="combustion body force for poiseuille "
+                         "(reference efx, :239)")
     ap.add_argument("--restart", default=None, metavar="INI_F",
                     help="combustion: warm-start the flow from a "
                          "reference-format ini_f.dat (skips the "
@@ -90,6 +102,8 @@ def main(argv=None):
                             conj_scheme=args.scheme,
                             restart=args.restart,
                             benchmark=args.bench,
+                            topology=args.topology,
+                            u_lid=args.u_lid, dpdx=args.dpdx,
                             fused=args.fused or None)   # None = auto by shape
         return 0
 

@@ -27,15 +27,20 @@ def trace(logdir: str):
 
 
 def measure_mlups(step_n_fn, state0, n_steps: int, nelem: int,
-                  perturb=lambda s: s):
+                  perturb=lambda s: s, reps: int = 3):
     """Throughput of ``step_n_fn`` (a jitted function advancing ``n_steps``).
 
-    Protocol: compile+run once, then time a run on a *fresh* input (so no
-    cached result can be returned) and force completion with a small host
-    readback of every output leaf.  Returns ``(mlups, ms_per_step)`` with
+    Protocol: compile+run once, then time ``reps`` runs, each on a *fresh*
+    input (``perturb`` is applied cumulatively so no run's result can be a
+    cached copy of a previous one), forcing completion with a small host
+    readback of every output leaf.  Returns
+    ``(mlups_median, ms_per_step_median, spread)`` with
     MLUPS = nelem * n_steps / seconds / 1e6 (the reference's printMlups
-    definition).  This is the protocol behind every BASELINE.md figure;
-    ``runners/bench_suite.py`` drives it for all workloads.
+    definition) and ``spread = (max - min) / median`` over the reps —
+    BASELINE.md records a serial-chip session spread of ~±12%, so a
+    single-shot reading can't resolve smaller regressions.  This is the
+    protocol behind every BASELINE.md figure; ``runners/bench_suite.py``
+    drives it for all workloads.
     """
     import jax
 
@@ -43,8 +48,13 @@ def measure_mlups(step_n_fn, state0, n_steps: int, nelem: int,
         jax.tree_util.tree_map(lambda a: np.asarray(a.ravel()[:4]), out)
 
     sync(step_n_fn(state0))
-    state1 = perturb(state0)
-    t0 = time.perf_counter()
-    sync(step_n_fn(state1))
-    dt = time.perf_counter() - t0
-    return nelem * n_steps / dt / 1e6, dt * 1e3 / n_steps
+    state = state0
+    dts = []
+    for _ in range(max(reps, 1)):
+        state = perturb(state)
+        t0 = time.perf_counter()
+        sync(step_n_fn(state))
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
+    spread = float((max(dts) - min(dts)) / dt)
+    return nelem * n_steps / dt / 1e6, dt * 1e3 / n_steps, spread

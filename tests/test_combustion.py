@@ -314,6 +314,27 @@ def test_huber2015_reduces_to_none_without_obstacles(small):
     np.testing.assert_array_equal(np.asarray(st_h.f), np.asarray(st_n.f))
 
 
+@pytest.mark.parametrize("topology,extra", [
+    ("cavity", ["--u-lid", "0.01"]),
+    ("couette", ["--u-lid", "0.01"]),
+    ("poiseuille", ["--dpdx", "1e-6"]),
+])
+def test_cli_topology_smoke(topology, extra, tmp_path):
+    """Each reference domain branch (CooLBM_MRT_combustion.cpp:154-254,
+    :3756-4073) is reachable from the CLI: the run completes, stays
+    finite, and emits the audit/VTK set."""
+    from multiphase_lbm_tpu.runners import coolbm
+
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    rc = coolbm.main(["combustion", "--topology", topology,
+                      "--nx", "48", "--ny", "16",
+                      "--steps", "30", "--scalar-steps", "5",
+                      "--outdir", str(outdir), *extra])
+    assert rc == 0
+    assert list(outdir.glob("sol_*.vtk"))
+
+
 def test_cli_restart_workflow(tmp_path):
     """Two-stage CLI round trip (reference :4345, :3129-3178): run the flow
     stage once, write ini_f.dat, then a --restart run consumes it and skips

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multiphase_lbm_tpu.core.precision import einsum
 from multiphase_lbm_tpu.models import shan_chen_rt as rt
 
 
@@ -27,7 +28,9 @@ def test_gradient_wrt_gravity_through_rt_solver():
             return rt.step_with_gravity(f, fluid, p, gravity), None
         f, _ = jax.lax.scan(body, f0, None, length=30)
         rho = rt.density(f)
-        u = jnp.einsum("kd,kyx->dyx", c, f) / jnp.maximum(rho, 1e-14)[None]
+        # HIGHEST-precision einsum: this gradient is checked against
+        # finite differences, so bf16 MXU contraction noise would bite
+        u = einsum("kd,kyx->dyx", c, f) / jnp.maximum(rho, 1e-14)[None]
         return 0.5 * jnp.sum(jnp.where(fluid[None], u, 0.0) ** 2)
 
     g0 = -1.25e-5
