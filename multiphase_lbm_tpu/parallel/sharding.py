@@ -14,6 +14,13 @@ Two interchangeable paths:
   the halo-extended block, and crops.  Correct for any step whose total
   stencil reach ≤ ``width`` (SC: force 1 + stream 1 = 2; HCZ: ∇∇² needs 2 +
   stream 1 = 3).  Periodic global topology falls out of the permute ring.
+
+Family coverage: every model family has a ``make_fused_*_step`` halo path
+EXCEPT pulsatile — a deliberate exclusion (PARITY.md §5 "Pulsatile
+multi-chip"): the reference pins that domain at 621×64 and never scales
+it, the whole-step kernel is VMEM-resident at ~40 µs/step, and its
+geometry engine couples the full x range each step; the XLA oracle still
+runs under the auto path if a scaled variant ever appears.
 """
 from __future__ import annotations
 

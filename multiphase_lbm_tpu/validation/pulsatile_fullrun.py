@@ -73,11 +73,20 @@ def _metrics(P, Ux, fluid, t):
                 Ux_mean=Um, Ux_absmax=Us, P_probe=P_probe)
 
 
-def simulate_metrics(dtype="f64", cadence=1, progress=False, path="xla"):
+def simulate_metrics(dtype="f64", cadence=1, progress=False, path="xla",
+                     interpret=False):
     """Run the full 2765-step reference case and collect the same metrics
     at every ``cadence``-th dump instant.  ``path='fused'`` drives the
     production whole-step Pallas kernel (ops/pallas_pulsatile_full, f32)
-    instead of the XLA oracle."""
+    instead of the XLA oracle.
+
+    Returns ``(metrics, diag)``; for the fused path ``diag`` totals the
+    kernel's deviation counters over the whole run —
+    ``order_dep_steps`` (steps whose reseed was order-dependent and was
+    filled densely instead of sequentially, the kernel's one documented
+    deviation from the oracle) and ``reseed_cells`` — so the deviation
+    can be gated instead of silently growing.  ``diag`` is None for the
+    XLA path (its sequential fallback is exact)."""
     import jax
     import jax.numpy as jnp
 
@@ -92,23 +101,31 @@ def simulate_metrics(dtype="f64", cadence=1, progress=False, path="xla"):
     st = pm.initialize(p, dtype=dt)
     st = pm.step(st, 0, p)                       # dump 0 is after 1 step
     out = []
+    diag = {"order_dep_steps": 0, "reseed_cells": 0} if path == "fused" \
+        else None
     keep = set(_dump_indices(cadence))
     if path == "fused":
         run27 = jax.jit(
-            lambda s, t: pfull.run_fused_full(s, t, p, DUMP_EVERY)[0])
+            lambda s, t: pfull.run_fused_full(s, t, p, DUMP_EVERY,
+                                              interpret=interpret))
     else:
         run27 = jax.jit(lambda s, t: pm.run(s, t, p, DUMP_EVERY))
     for i in range(N_DUMPS):
         t = i * DUMP_EVERY
         if i:
-            st = run27(st, 1 + (i - 1) * DUMP_EVERY)
+            if path == "fused":
+                st, dg = run27(st, 1 + (i - 1) * DUMP_EVERY)
+                diag["order_dep_steps"] += int(dg[0, 0])
+                diag["reseed_cells"] += int(dg[1, 0])
+            else:
+                st = run27(st, 1 + (i - 1) * DUMP_EVERY)
         if i in keep:
             fluid = np.asarray(st.fluid)
             out.append(_metrics(np.asarray(st.P), np.asarray(st.Ux),
                                 fluid, t))
             if progress and i % 20 == 0:
                 print(f"  dump {i}/{N_DUMPS}", flush=True)
-    return out
+    return out, diag
 
 
 def compare(sim, gold):
@@ -205,6 +222,16 @@ GATES_F32 = {
     "probe_rms_tail": 1e-3,
 }
 
+# Envelope on the fused kernel's ONE documented deviation from the oracle:
+# steps whose reseed was order-dependent (ring-search fill or fresh edge
+# source) and was filled densely instead of exactly-sequentially
+# (ops/pallas_pulsatile_full.py:44-50).  Measured over the full 2765-step
+# f32 run: 6 order-dependent steps out of 2764 (110539 reseeded cells
+# total; CPU interpret-mode capture 2026-08-18).  Gated at 2× measured —
+# the count is trajectory-chaotic, but a kernel edit that silently grows
+# the deviation regime fails here.
+ORDER_DEP_STEPS_MAX = 12
+
 
 def check(table, gates=GATES):
     ok = True
@@ -233,11 +260,18 @@ def main():
     cadence = 1
     print(f"simulating full reference run ({dtype}, {path} path)…",
           flush=True)
-    sim = simulate_metrics(dtype=dtype, cadence=cadence, progress=True,
-                           path=path)
+    sim, diag = simulate_metrics(dtype=dtype, cadence=cadence,
+                                 progress=True, path=path)
     gold = golden_metrics(cadence=cadence)
     table = compare(sim, gold)
     ok = check(table, GATES if dtype == "f64" else GATES_F32)
+    if diag is not None:
+        n, cells = diag["order_dep_steps"], diag["reseed_cells"]
+        dep_ok = n <= ORDER_DEP_STEPS_MAX
+        ok &= dep_ok
+        print(f"  order_dep_reseed_steps: {n} (tol "
+              f"{ORDER_DEP_STEPS_MAX}) {'PASS' if dep_ok else 'FAIL'}"
+              f"  [reseed_cells={cells}]")
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -22,9 +22,29 @@ from multiphase_lbm_tpu.validation import pulsatile_fullrun as fr
 @pytest.mark.slow
 def test_full_archived_run_statistics():
     cadence = 3
-    sim = fr.simulate_metrics(dtype="f64", cadence=cadence)
+    sim, _ = fr.simulate_metrics(dtype="f64", cadence=cadence)
     gold = fr.golden_metrics(cadence=cadence)
     table = fr.compare(sim, gold)
     for k, tol in fr.GATES.items():
         assert table[k] <= tol, (k, table[k], tol)
     assert abs(table["wave_phase_lag_dumps"]) <= 1, table
+
+
+@pytest.mark.slow
+def test_fused_fullrun_order_dep_envelope():
+    """The fused kernel's one documented deviation — order-dependent
+    reseed steps filled densely instead of sequentially
+    (ops/pallas_pulsatile_full.py:44-50) — is bounded over the FULL
+    2765-step reference run: 6 such steps measured; the gate fails if a
+    kernel edit doubles the count.  Also re-checks the f32 statistical
+    gates at reduced metric cadence (the phase-lag metric needs the
+    full-cadence tail, so it is gated only in the cadence-1 validation
+    run / TPU batch)."""
+    sim, diag = fr.simulate_metrics(path="fused", cadence=10,
+                                    interpret=True)
+    assert diag["order_dep_steps"] <= fr.ORDER_DEP_STEPS_MAX, diag
+    assert diag["reseed_cells"] > 0          # the counter is alive
+    gold = fr.golden_metrics(cadence=10)
+    table = fr.compare(sim, gold)
+    for k, tol in fr.GATES_F32.items():
+        assert table[k] <= tol, (k, table[k], tol)
