@@ -62,6 +62,17 @@ class PulsatileParams:
     t_beat: int = 0          # 0 → max(1, nx)
     hsize: int = 1
     collision: str = "mrt"   # "mrt" | "bgk"
+    # True reproduces the reference's momentum sweep verbatim: k runs 1..8
+    # in module ordering (:224), OMITTING k=0 (the W direction, c=(−1,0))
+    # — not the rest direction, which sits at k=4 here (it is k=0 only in
+    # the "Abbas I" ordering; a classic ordering mix-up).  Because the
+    # momentum moments relax at s=1 toward the equilibrium built from this
+    # offset velocity, the quirk FEEDS BACK into the dynamics (a bulk
+    # velocity bias of order 3·g₀/ρ₀ per step until g₀ self-cancels).
+    # False restores the full first moment — the physics mode validated
+    # against analytic Poiseuille/Womersley channel flow
+    # (validation/womersley.py).  Parity/golden tests require True.
+    momentum_quirk: bool = True
 
     @property
     def rho0(self):
@@ -445,7 +456,8 @@ def macroscopic(g, fluid, p: PulsatileParams):
     Ux carries a +3·g₀/ρ₀ offset relative to the true first moment."""
     P = jnp.sum(g, axis=0)
     c = np.asarray(D2Q9.c, dtype=np.float64).copy()
-    c[0] = 0.0  # k=0 excluded from the reference's momentum loop
+    if p.momentum_quirk:
+        c[0] = 0.0  # k=0 excluded from the reference's momentum loop
     mom = einsum("kd,kyx->dyx", jnp.asarray(c, dtype=g.dtype), g)
     m = fluid.astype(g.dtype)
     return P * m, 3.0 * mom[0] / p.rho0 * m, 3.0 * mom[1] / p.rho0 * m

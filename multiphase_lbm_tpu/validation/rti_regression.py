@@ -137,11 +137,26 @@ def compare_velocity(times, heights, ref_t, ref_y, window=7):
     return float(np.abs(interp - v_ref[mask]).max())
 
 
+def archive_path():
+    import os
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "rti2048_trajectory.npz")
+
+
 def main():
-    t_end = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
-    N = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    args = [a for a in sys.argv[1:] if a != "--archive"]
+    do_archive = "--archive" in sys.argv[1:]
+    t_end = float(args[0]) if len(args) > 0 else 2.0
+    N = int(args[1]) if len(args) > 1 else 256
     times, spikes, bubbles = run_regression(t_end=t_end, N=N)
-    return report(times, spikes, bubbles, t_end, N)
+    rc = report(times, spikes, bubbles, t_end, N)
+    if do_archive and N >= 1024 and rc == 0:
+        # refresh the CI replay artifact with the current kernel's
+        # trajectory (only on PASS — a failing trajectory must not
+        # become the archived baseline)
+        np.savez(archive_path(), t=times, s=spikes, b=bubbles)
+        print(f"archived -> {archive_path()}")
+    return rc
 
 
 def report(times, spikes, bubbles, t_end, N):

@@ -157,3 +157,22 @@ def test_reseed_batched_matches_sequential(setup):
                                rtol=0, atol=1e-14)
     # and the batch actually filled the fresh cells (not a no-op)
     assert not np.array_equal(np.asarray(out), np.asarray(g))
+
+
+def test_momentum_quirk_flag(setup):
+    """The reference momentum sweep omits k=0 — the W direction, not rest
+    (PulsatileBloodFlow2D.h:224) — so the quirky Ux carries a +3·g₀/ρ₀
+    offset that feeds back through the s=1 MRT momentum relaxation.
+    ``momentum_quirk=False`` restores the true first moment (the physics
+    mode gated analytically in validation/womersley.py)."""
+    import dataclasses
+
+    p, st = setup
+    g = st.g_coll
+    P_q, Ux_q, _ = pb.macroscopic(g, st.fluid, p)
+    p_phys = dataclasses.replace(p, momentum_quirk=False)
+    P_t, Ux_t, _ = pb.macroscopic(g, st.fluid, p_phys)
+    np.testing.assert_array_equal(np.asarray(P_q), np.asarray(P_t))
+    expect = 3.0 * np.asarray(g[0]) / p.rho0 * np.asarray(st.fluid)
+    np.testing.assert_allclose(np.asarray(Ux_q - Ux_t), expect,
+                               rtol=0, atol=1e-14)
