@@ -15,6 +15,11 @@ Two interchangeable paths:
   stencil reach ≤ ``width`` (SC: force 1 + stream 1 = 2; HCZ: ∇∇² needs 2 +
   stream 1 = 3).  Periodic global topology falls out of the permute ring.
 
+Fused meshes: 1D cuts for every family (y for SC/HCZ/Fakhari/combustion,
+z for HCZ-3D, x-ring for SC-RT) plus 2D (y×x) cuts for the two families
+whose headline lattices can outgrow an 8-chip 1D stripe
+(``make_fused_sc_step_2d`` / ``make_fused_hcz_step_2d``, SURVEY §5.7).
+
 Family coverage: every model family has a ``make_fused_*_step`` halo path
 EXCEPT pulsatile — a deliberate exclusion (PARITY.md §5 "Pulsatile
 multi-chip"): the reference pins that domain at 621×64 and never scales
@@ -291,6 +296,84 @@ def make_fused_fakhari_step(mesh: Mesh, p, tile: int = 0,
         local_step, mesh=mesh,
         in_specs=(P(None, "y", None), P(None, "y", None), P(None, "y", None)),
         out_specs=(P(None, "y", None), P(None, "y", None), P(None, "y", None)),
+        check_vma=False)
+    return jax.jit(shard_fn)
+
+
+def make_fused_sc_step_2d(mesh: Mesh, p, tile: int = 0,
+                          interpret: bool = False, nsub: int = 1,
+                          halo_x: int = 128):
+    """Multi-chip fused Shan-Chen step on a 2D (y×x) device mesh.
+
+    Extends :func:`make_fused_sc_step` past the ~8-chip practical limit of
+    a 1D cut (SURVEY §5.7's 2048²-8192² scale obligation): the global
+    ``(9, ny, nx)`` lattice is sharded on BOTH spatial axes.  Each step
+    exchanges the x halo first (ring ppermute over mesh axis 'x'), then the
+    y halo on the x-extended block (over mesh axis 'y') — the second
+    exchange carries the first's halo columns, so corner cells arrive from
+    the diagonal neighbor in two ICI hops, exactly like the generic
+    :func:`make_halo_step` 2D path.  The unmodified halo-mode kernel then
+    runs per shard: its lane rolls wrap at the *extended* x edges, which
+    only contaminates cells within ``2·nsub ≤ halo_x`` of the edge — all
+    inside the cropped halo (the same argument the 1D paths use for y).
+
+    ``halo_x`` defaults to 128 so the extended lane width stays a multiple
+    of 128 when the per-shard ``nx`` is (Mosaic lane alignment); smaller
+    values are fine in interpret mode.  The x-halo columns are recomputed
+    by every substep and cropped, so the overhead per exchange is
+    ``2·halo_x / nx_local`` extra lanes of compute.
+    """
+    from ..ops import pallas_sc
+
+    Hy = max(pallas_sc.HALO, _halo_width(2, nsub))
+    Hx = halo_x
+    assert Hx >= 2 * nsub, (Hx, nsub)
+
+    def local_step(f_loc, m_loc):
+        f_ext = _exchange_axis(f_loc, Hx, 2, "x")
+        f_ext = _exchange_axis(f_ext, Hy, 1, "y")
+        m_ext = _exchange_axis(m_loc, Hx, 1, "x")
+        m_ext = _exchange_axis(m_ext, Hy, 0, "y")
+        out = pallas_sc.step_fused_halo(f_ext, m_ext, p, tile=tile,
+                                        interpret=interpret, nsub=nsub,
+                                        halo=Hy)
+        return out[:, :, Hx:out.shape[2] - Hx]
+
+    shard_fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, "y", "x"), P("y", "x")),
+        out_specs=P(None, "y", "x"),
+        check_vma=False)
+    return jax.jit(shard_fn)
+
+
+def make_fused_hcz_step_2d(mesh: Mesh, p, tile: int = 0,
+                           interpret: bool = False, nsub: int = 1,
+                           halo_x: int = 128):
+    """Multi-chip fused HCZ step on a 2D (y×x) device mesh (see
+    :func:`make_fused_sc_step_2d` for the exchange/crop scheme).  One HCZ
+    substep consumes 3 cells of halo validity (∇∇² reach 2 + stream 1), so
+    ``halo_x ≥ 3·nsub``."""
+    from ..ops import pallas_hcz
+
+    Hy = max(pallas_hcz.HALO, _halo_width(3, nsub))
+    Hx = halo_x
+    assert Hx >= 3 * nsub, (Hx, nsub)
+
+    def local_step(f_loc, g_loc, m_loc):
+        f_ext = _exchange_axis(_exchange_axis(f_loc, Hx, 2, "x"), Hy, 1, "y")
+        g_ext = _exchange_axis(_exchange_axis(g_loc, Hx, 2, "x"), Hy, 1, "y")
+        m_ext = _exchange_axis(_exchange_axis(m_loc, Hx, 1, "x"), Hy, 0, "y")
+        f_out, g_out = pallas_hcz.step_fused_halo(
+            f_ext, g_ext, m_ext, p, tile=tile, interpret=interpret,
+            nsub=nsub, halo=Hy)
+        return (f_out[:, :, Hx:f_out.shape[2] - Hx],
+                g_out[:, :, Hx:g_out.shape[2] - Hx])
+
+    shard_fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, "y", "x"), P(None, "y", "x"), P("y", "x")),
+        out_specs=(P(None, "y", "x"), P(None, "y", "x")),
         check_vma=False)
     return jax.jit(shard_fn)
 

@@ -207,8 +207,83 @@ def check_combustion(n_devices: int = 4, nsub: int = 2) -> None:
     print(f"combustion(n={n_devices}, nsub={nsub}): OK")
 
 
+def check_sc2d(n_devices: int = 4, nsub: int = 2) -> None:
+    """2D-mesh fused SC: the lattice is cut on BOTH axes over a (2, n/2)
+    y×x mesh; the x-first/y-second halo exchange fills corners from the
+    diagonal neighbor in two hops, and the unmodified halo-mode kernel's
+    lane-roll wrap stays inside the cropped x halo.  Compared against the
+    single-device XLA model path (walled channel, so mask exchange and
+    bounce-back cross both cut axes)."""
+    _force_cpu(max(n_devices, 4))
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import shan_chen as sc
+    from ..parallel import sharding as sh
+
+    p = sc.SCParams()
+    nx, ny = 64, 32
+    f = sc.init_droplet(nx, ny, p, radius=6.0, dtype=jnp.float32)
+    fluid = sc.geometry_channel_walls(nx, ny)
+    f = sc.apply_geometry(f, fluid)
+    m32 = fluid.astype(jnp.float32)
+
+    n = 2 * nsub
+    ref = sc.run(f, fluid, p, n)
+
+    mesh = sh.make_mesh(n_devices, shape=(2, n_devices // 2),
+                        axis_names=("y", "x"))
+    step = sh.make_fused_sc_step_2d(mesh, p, tile=8, interpret=True,
+                                    nsub=nsub, halo_x=8)
+    out = f
+    for _ in range(n // nsub):
+        out = step(out, m32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
+    print(f"sc2d(n={n_devices}, nsub={nsub}): OK")
+
+
+def check_hcz2d(n_devices: int = 4, nsub: int = 2) -> None:
+    """2D-mesh fused HCZ (reach-3 stencils crossing both cut axes) vs the
+    single-device fused kernel."""
+    _force_cpu(max(n_devices, 4))
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import hcz
+    from ..ops import pallas_hcz
+    from ..parallel import sharding as sh
+
+    p = hcz.HCZParams()
+    nx, ny = 64, 64
+    state = hcz.init_rayleigh_taylor(nx, ny, p, dtype=jnp.float32)
+    fluid = hcz.geometry_channel(nx, ny)
+    state = hcz.apply_geometry(state, fluid)
+    f, g = state
+    m32 = fluid.astype(jnp.float32)
+
+    n = 2 * nsub
+    ref_f, ref_g = pallas_hcz.run_fused(f, g, m32, p, n, tile=8,
+                                        interpret=True, nsub=1)
+
+    mesh = sh.make_mesh(n_devices, shape=(2, n_devices // 2),
+                        axis_names=("y", "x"))
+    step = sh.make_fused_hcz_step_2d(mesh, p, tile=8, interpret=True,
+                                     nsub=nsub, halo_x=8)
+    out_f, out_g = f, g
+    for _ in range(n // nsub):
+        out_f, out_g = step(out_f, out_g, m32)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               rtol=2e-5, atol=1e-6)
+    print(f"hcz2d(n={n_devices}, nsub={nsub}): OK")
+
+
 CHECKS = {
     "hcz_wide": check_hcz_wide,
+    "sc2d": check_sc2d,
+    "hcz2d": check_hcz2d,
     "hcz3d": check_hcz3d,
     "fakhari": check_fakhari,
     "scrt": check_scrt,

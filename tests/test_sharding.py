@@ -114,6 +114,19 @@ def test_fused_scrt_multichip():
     _run_check("scrt", n_devices=4, nsub=2)
 
 
+def test_fused_sc_2d_mesh():
+    """2D-mesh (y×x) fused SC: both spatial axes cut, x-first/y-second halo
+    exchange fills corner cells via the diagonal neighbor in two hops;
+    matches the XLA model path (SURVEY §5.7 8192²-scale obligation)."""
+    _run_check("sc2d", n_devices=4, nsub=2)
+
+
+def test_fused_hcz_2d_mesh():
+    """2D-mesh (y×x) fused HCZ: reach-3 stencils crossing both cut axes
+    match the single-device fused kernel."""
+    _run_check("hcz2d", n_devices=4, nsub=2)
+
+
 def test_fused_combustion_multichip():
     """Reactive-combustion striped kernel in halo mode under y-sharded
     shard_map exchange (nsub=2) matches the XLA oracle, with the obstacle
