@@ -1,1 +1,1 @@
-from . import profiling  # noqa: F401
+from . import adjoint, profiling  # noqa: F401
