@@ -95,9 +95,13 @@ def run_channel(ny=34, nx=8, tau=0.65, F0=1e-6, A=1e-6, t_beat=1287,
     def macro(f, Fx):
         rho = jnp.sum(f, axis=0)
         mom = einsum("kd,kyx->dyx", c, f)
-        # Guo half-force shift in the velocity used by the equilibrium
+        # Guo half-force shift in the velocity used by the equilibrium;
+        # wall rows carry rho=0 (stream_bounce_back zeroes solids) — guard
+        # the divide so the masked-out rows don't inject inf/NaN into the
+        # Fourier reductions downstream
         u = (mom + 0.5 * jnp.stack([jnp.full_like(rho, Fx),
-                                    jnp.zeros_like(rho)])) / rho
+                                    jnp.zeros_like(rho)])) \
+            / jnp.where(rho > 0, rho, 1.0)
         return rho, u
 
     def step(f, t):
