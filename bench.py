@@ -91,11 +91,11 @@ def main():
     # remote Pallas compile goes through a compile server and can take
     # minutes; an outage starting mid-compile would otherwise hang forever
     wd = _backend_watchdog(900.0, stage="compile+timed run")
-    mlups, _, spread = measure_mlups(
+    mlups, _, spread, out = measure_mlups(
         step_n, f, args.steps, n * n,
         perturb=lambda s: s * jnp.float32(1.000001), reps=args.reps)
-    out = step_n(f)
-    # reduce on device; pulling the full array over the axon tunnel is slow
+    # check the ACTUAL timed output (reduce on device; pulling the full
+    # array over the axon tunnel is slow)
     finite = bool(jnp.isfinite(jnp.sum(out)))
     wd.cancel()
     assert finite, "non-finite state after benchmark"

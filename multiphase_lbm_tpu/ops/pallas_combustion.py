@@ -76,6 +76,16 @@ def _check_supported(p: CombustionParams):
             f"freeslip={p.y_freeslip} — use models.combustion.run")
 
 
+def supported(p: CombustionParams) -> bool:
+    """True iff the fused kernels can run this configuration (the loud
+    rationale lives in :func:`_check_supported`)."""
+    try:
+        _check_supported(p)
+    except NotImplementedError:
+        return False
+    return True
+
+
 def _mrt_terms(Svec):
     """Host-side factorization of A−I = Σ_j (S_j−1)·M⁻¹[:,j] M[j,:]."""
     s = np.asarray(Svec, dtype=np.float64)

@@ -582,6 +582,14 @@ def run_fused_full(state: PulsatileState, t0, p: PulsatileParams,
     (state, diag) where diag[0,0] counts order-dependent reseed steps
     (filled densely instead of sequentially — see module docstring) and
     diag[1,0] the total number of reseeded cells."""
+    if not p.momentum_quirk:
+        # the kernel hardcodes the reference's k=0-omitting momentum sweep
+        # (quirk ON, bit-parity target); silently running quirk-ON dynamics
+        # for a physics-mode request would break the fused↔oracle contract
+        raise NotImplementedError(
+            "run_fused_full implements the reference parity semantics "
+            "(momentum_quirk=True) only; use models.pulsatile.run for "
+            "momentum_quirk=False physics runs")
     bufs = pack_state(state, p)
     call = _make_call(p, nsub, interpret, phases)
 

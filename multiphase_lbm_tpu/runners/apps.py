@@ -484,6 +484,16 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
         auto = fused is None
         if auto:
             fused = True
+        if fused:
+            # the fused kernels cover the reference default path only
+            # (inflow_outflow/li2014, pallas_combustion._check_supported);
+            # a --topology cavity bench must fall back to XLA under auto
+            # selection and fail loudly only on an explicit --fused
+            from ..ops import pallas_combustion as pcmb
+            if not pcmb.supported(p):
+                if not auto:
+                    pcmb._check_supported(p)   # raise the loud message
+                fused = False
         if fused and nx * ny > 60000:
             # y-striped kernel (measured 840x160 konv: 563.6 MLUPS at
             # tile=40/halo=16/nsub=4 vs 416 XLA; tile=80 exceeds VMEM)

@@ -31,11 +31,22 @@ import sys
 
 
 def _timed(fn, state, mk_fresh, n_steps, cells, reps=3):
-    """Relay-safe timing protocol (utils.profiling.measure_mlups)."""
+    """Relay-safe timing protocol (utils.profiling.measure_mlups); raises
+    if the actual timed output went non-finite (a fast number computed on
+    NaNs is not a benchmark)."""
+    import jax
+    import jax.numpy as jnp
+
     from ..utils.profiling import measure_mlups
 
-    return measure_mlups(fn, state, n_steps, cells, perturb=mk_fresh,
-                         reps=reps)
+    mlups, ms, spread, out = measure_mlups(fn, state, n_steps, cells,
+                                           perturb=mk_fresh, reps=reps)
+    leaves = jax.tree_util.tree_leaves(out)
+    finite = all(bool(jnp.isfinite(jnp.sum(a)))
+                 for a in leaves if jnp.issubdtype(a.dtype, jnp.floating))
+    if not finite:
+        raise FloatingPointError("non-finite state after timed run")
+    return mlups, ms, spread
 
 
 def _perturb_first(s):

@@ -34,7 +34,7 @@ def measure_mlups(step_n_fn, state0, n_steps: int, nelem: int,
     input (``perturb`` is applied cumulatively so no run's result can be a
     cached copy of a previous one), forcing completion with a small host
     readback of every output leaf.  Returns
-    ``(mlups_median, ms_per_step_median, spread)`` with
+    ``(mlups_median, ms_per_step_median, spread, last_out)`` with
     MLUPS = nelem * n_steps / seconds / 1e6 (the reference's printMlups
     definition) and ``spread = (max - min) / median`` over the reps —
     BASELINE.md records a serial-chip session spread of ~±12%, so a
@@ -49,12 +49,16 @@ def measure_mlups(step_n_fn, state0, n_steps: int, nelem: int,
 
     sync(step_n_fn(state0))
     state = state0
+    out = None
     dts = []
     for _ in range(max(reps, 1)):
         state = perturb(state)
         t0 = time.perf_counter()
-        sync(step_n_fn(state))
+        out = step_n_fn(state)
+        sync(out)
         dts.append(time.perf_counter() - t0)
     dt = float(np.median(dts))
     spread = float((max(dts) - min(dts)) / dt)
-    return nelem * n_steps / dt / 1e6, dt * 1e3 / n_steps, spread
+    # last_out is the final TIMED output (cumulatively perturbed input) so
+    # callers can sanity-check the very states the numbers came from
+    return nelem * n_steps / dt / 1e6, dt * 1e3 / n_steps, spread, out
