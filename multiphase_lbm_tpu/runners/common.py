@@ -12,15 +12,32 @@ from ..io.vtk import VtkWriter, sol_filename
 class Driver:
     """Replicates the reference drivers' loop skeleton: periodic VTK dumps,
     periodic stdout + .dat logging, end-of-run MLUPS line (e.g.
-    laplace2D.h:485-511)."""
+    laplace2D.h:485-511).
 
-    def __init__(self, outdir, nelem, out_freq=0, vtk_freq=0):
+    VTK dumps are ASYNCHRONOUS by default (``async_io=True``): the device
+    arrays' host copies are started eagerly (``copy_to_host_async``), then
+    formatting and disk write run on a single worker thread while the main
+    thread enqueues the next device chunk — over the axon tunnel a full
+    2048² field set costs seconds to pull, and the reference pays that
+    inline every dump (e.g. ``PulsatileBloodFlow2D.h:680-705`` serializes
+    103 dumps on the time loop).  In-flight dumps are bounded to 2 so a
+    3D run can't accumulate gigabytes of host staging.  ``finish()``
+    drains the queue and re-raises the first worker error, so files are
+    complete (and failures loud) before the MLUPS line prints.  JAX
+    arrays are immutable and the models never donate buffers, so a
+    snapshot handed to the worker cannot be mutated by later steps."""
+
+    def __init__(self, outdir, nelem, out_freq=0, vtk_freq=0,
+                 async_io=True):
         self.outdir = Path(outdir)
         self.outdir.mkdir(parents=True, exist_ok=True)
         self.out_freq = out_freq
         self.vtk_freq = vtk_freq
         self.clock = MlupsClock(nelem)
         self._logs = {}
+        self.async_io = async_io
+        self._pool = None
+        self._writes = []
 
     def log_file(self, name) -> DatLogger:
         if name not in self._logs:
@@ -35,6 +52,28 @@ class Driver:
 
     def write_vtk(self, it, nx, ny, nz=1, spacing=1.0, scalars=(), vectors=(),
                   int_scalars=()):
+        if not self.async_io:
+            self._do_write(it, nx, ny, nz, spacing, scalars, vectors,
+                           int_scalars)
+            return
+        # start every device->host copy now (non-blocking), then hand the
+        # formatting + disk write to the worker
+        for _, data in (*scalars, *vectors, *int_scalars):
+            start = getattr(data, "copy_to_host_async", None)
+            if start is not None:
+                start()
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="vtk-io")
+        while len(self._writes) >= 2:       # bound host staging memory
+            self._writes.pop(0).result()
+        self._writes.append(self._pool.submit(
+            self._do_write, it, nx, ny, nz, spacing, tuple(scalars),
+            tuple(vectors), tuple(int_scalars)))
+
+    def _do_write(self, it, nx, ny, nz, spacing, scalars, vectors,
+                  int_scalars):
         w = VtkWriter(nx, ny, nz, spacing=spacing, iteration=it)
         for name, data in scalars:
             w.scalar(name, np.asarray(data))
@@ -44,7 +83,18 @@ class Driver:
             w.scalar(name, np.asarray(data), as_int=True)
         w.write(self.outdir / sol_filename(it))
 
+    def drain(self):
+        """Block until all queued dumps are on disk; re-raise worker
+        errors (a silently dropped dump must not look like success)."""
+        writes, self._writes = self._writes, []
+        for fut in writes:
+            fut.result()
+
     def finish(self):
+        self.drain()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
         for lg in self._logs.values():
             lg.close()
         print(self.clock.report())

@@ -105,3 +105,40 @@ def test_dat_logger_and_mlups(tmp_path):
     clock.tick(10)
     assert clock.mlups > 0
     assert "MLUPS" in clock.report()
+
+
+def test_driver_async_vtk_matches_sync_bytes(tmp_path):
+    """Async dumps (device->host copy started eagerly, format+write on the
+    worker) must produce byte-identical files to the synchronous path, be
+    fully on disk after finish(), and surface worker errors there."""
+    import jax.numpy as jnp
+    import pytest
+
+    from multiphase_lbm_tpu.runners.common import Driver
+    from multiphase_lbm_tpu.io.vtk import sol_filename
+
+    ny, nx = 12, 16
+    rho = jnp.arange(ny * nx, dtype=jnp.float32).reshape(ny, nx) / 7.0
+    u = jnp.stack([rho * 0.5, -rho])
+    flag = (rho > 3.0).astype(jnp.int32)
+    fields = dict(scalars=[("Density", rho)], vectors=[("velocity", u)],
+                  int_scalars=[("Flag", flag)])
+
+    d_sync = Driver(tmp_path / "sync", nx * ny, vtk_freq=1, async_io=False)
+    d_async = Driver(tmp_path / "async", nx * ny, vtk_freq=1)
+    for it in (0, 27, 54, 81):          # > the in-flight bound of 2
+        d_sync.write_vtk(it, nx, ny, **fields)
+        d_async.write_vtk(it, nx, ny, **fields)
+    d_sync.finish()
+    d_async.finish()
+    for it in (0, 27, 54, 81):
+        a = (tmp_path / "async" / sol_filename(it)).read_bytes()
+        s = (tmp_path / "sync" / sol_filename(it)).read_bytes()
+        assert a == s
+
+    # a failing worker write must raise at finish, not vanish
+    d_bad = Driver(tmp_path / "bad", nx * ny, vtk_freq=1)
+    d_bad.outdir = tmp_path / "bad" / "missing-subdir"   # unwritable target
+    d_bad.write_vtk(0, nx, ny, **fields)
+    with pytest.raises(Exception):
+        d_bad.finish()
