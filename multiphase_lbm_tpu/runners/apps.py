@@ -112,10 +112,12 @@ def _run_sc(p, f, fluid, steps, cfg, outdir, dx, dt, contact):
     it = 0
     while it < steps:
         if drv.want_vtk(it):
-            rho = np.asarray(sc.density(f))
-            pr = np.asarray(sc.node_pressure(f, p))
-            F = np.asarray(sc.sc_force(sc.density(f), fluid, p))
-            flm = np.asarray(fluid)
+            # fields stay ON DEVICE: the async dump worker pulls them,
+            # so the time loop never blocks on the host transfer
+            rho = sc.density(f)
+            pr = sc.node_pressure(f, p)
+            F = sc.sc_force(rho, fluid, p)
+            flm = fluid.astype(rho.dtype)
             drv.write_vtk(it, nx, ny, spacing=dx,
                           scalars=[("Density", rho * flm),
                                    ("Pressure", pr * flm)],
@@ -159,9 +161,9 @@ def run_young_laplace2d(config, outdir, dtype=jnp.float64, max_steps=None,
     it = 0
     while it <= steps:
         if drv.want_vtk(it):
-            C = np.asarray(fk.phase_field(state))
-            P = np.asarray(fk.pressure(state))
-            u = np.asarray(state[2])
+            C = fk.phase_field(state)
+            P = fk.pressure(state)
+            u = state[2]
             drv.write_vtk(it, N, N,
                           scalars=[("phi", C), ("Pressure", P)],
                           vectors=[("velocity", u)],
@@ -221,9 +223,9 @@ def run_rayleigh_taylor_pf(config, outdir, dtype=jnp.float64, max_steps=None,
     prev_sb = None
     while it < steps:
         if drv.want_vtk(it):
-            phi = np.asarray(hcz.order_parameter(state[0]))
-            rho = np.asarray(hcz.rho_of_phi(hcz.order_parameter(state[0]), p))
-            flg = (~np.asarray(fluid)).astype(int)
+            phi = hcz.order_parameter(state[0])
+            rho = hcz.rho_of_phi(phi, p)
+            flg = (~np.asarray(fluid)).astype(int)   # static, tiny
             drv.write_vtk(it, N, ny, spacing=1.0 / N,
                           scalars=[("phi", phi), ("density", rho)],
                           int_scalars=[("Flag", flg)])
@@ -286,8 +288,8 @@ def run_two_layered_pf(config, outdir, dtype=jnp.float64, max_steps=None):
     it = 0
     while it < steps:
         if drv.want_vtk(it):
-            phi = np.asarray(hcz.order_parameter(state[0]))
-            rho = np.asarray(hcz.rho_of_phi(hcz.order_parameter(state[0]), p))
+            phi = hcz.order_parameter(state[0])
+            rho = hcz.rho_of_phi(phi, p)
             drv.write_vtk(it, N, N, spacing=dx,
                           scalars=[("phi", phi), ("density", rho)],
                           int_scalars=[("Flag", (~np.asarray(fluid)).astype(int))])
@@ -325,7 +327,7 @@ def run_laplace3d(config, outdir, dtype=jnp.float64, max_steps=None):
     it = 0
     while it < steps:
         if drv.want_vtk(it):
-            phi = np.asarray(hcz.order_parameter(state[0]))
+            phi = hcz.order_parameter(state[0])
             drv.write_vtk(it, N, N, N, spacing=1.0 / N,
                           scalars=[("phi", phi)])
         if drv.want_out(it):
@@ -371,7 +373,7 @@ def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None,
     it = 0
     while it < steps:
         if drv.want_vtk(it):
-            rho = np.asarray(rt.density(f))
+            rho = rt.density(f)
             drv.write_vtk(it, nx, ny, spacing=dx,
                           scalars=[("Density", rho)],
                           int_scalars=[("Flag", (~np.asarray(fluid)).astype(int))])
