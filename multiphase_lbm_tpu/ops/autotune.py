@@ -91,19 +91,31 @@ def _key(kernel: str, shape, dtype) -> str:
 
 def save_table(path: str, kernel: str, shape, dtype, results) -> None:
     """Merge the sweep's winner (and the full result list) into a JSON
-    table keyed by kernel/shape/dtype."""
+    table keyed by kernel/shape/dtype.  The write is atomic (tmp +
+    os.replace) and a corrupt existing table is preserved as
+    ``<path>.corrupt`` rather than silently discarded — one interrupted
+    save must not destroy every other kernel/shape's tuned winner."""
+    import os
+
+    table = {}
     try:
         with open(path) as fh:
             table = json.load(fh)
-    except (FileNotFoundError, json.JSONDecodeError):
-        table = {}
+    except FileNotFoundError:
+        pass
+    except json.JSONDecodeError:
+        os.replace(path, path + ".corrupt")
+        print(f"autotune: {path} was corrupt — moved to {path}.corrupt, "
+              "starting a fresh table")
     timed = [r for r in results if "mlups" in r]
     table[_key(kernel, shape, str(dtype))] = {
         "best": timed[0] if timed else None,
         "results": results,
     }
-    with open(path, "w") as fh:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(table, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def load_table(path: str) -> dict:

@@ -56,18 +56,21 @@ class Driver:
             self._do_write(it, nx, ny, nz, spacing, scalars, vectors,
                            int_scalars)
             return
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="vtk-io")
+        # enforce the in-flight bound BEFORE staging this dump's copies, so
+        # at most 2 snapshots are ever held (executing + queued) — staging
+        # first would transiently pin a third field set
+        while len(self._writes) >= 2:
+            self._writes.pop(0).result()
         # start every device->host copy now (non-blocking), then hand the
         # formatting + disk write to the worker
         for _, data in (*scalars, *vectors, *int_scalars):
             start = getattr(data, "copy_to_host_async", None)
             if start is not None:
                 start()
-        if self._pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-            self._pool = ThreadPoolExecutor(max_workers=1,
-                                            thread_name_prefix="vtk-io")
-        while len(self._writes) >= 2:       # bound host staging memory
-            self._writes.pop(0).result()
         self._writes.append(self._pool.submit(
             self._do_write, it, nx, ny, nz, spacing, tuple(scalars),
             tuple(vectors), tuple(int_scalars)))
@@ -84,19 +87,32 @@ class Driver:
         w.write(self.outdir / sol_filename(it))
 
     def drain(self):
-        """Block until all queued dumps are on disk; re-raise worker
-        errors (a silently dropped dump must not look like success)."""
+        """Block until ALL queued dumps are on disk; then re-raise the
+        first worker error (a silently dropped dump must not look like
+        success — and a later dump's failure must not be masked by an
+        earlier one: every future is awaited before raising)."""
         writes, self._writes = self._writes, []
+        first_err = None
         for fut in writes:
-            fut.result()
+            try:
+                fut.result()
+            except Exception as e:
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
 
     def finish(self):
-        self.drain()
-        if self._pool is not None:
-            self._pool.shutdown(wait=True)
-            self._pool = None
-        for lg in self._logs.values():
-            lg.close()
+        # even on a failed dump, release the worker thread and flush/close
+        # the .dat logs before propagating
+        try:
+            self.drain()
+        finally:
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+                self._pool = None
+            for lg in self._logs.values():
+                lg.close()
         print(self.clock.report())
         return self.clock.mlups
 

@@ -58,3 +58,19 @@ def test_sweep_budget_skips_remaining():
     # budget 0: every config after the clock check is a visible skip
     assert all(r.get("skipped") == "budget" for r in results)
     assert np.isfinite(np.asarray(f)).all()
+
+
+def test_save_table_survives_corrupt_file(tmp_path):
+    """A truncated table (interrupted save) must be preserved aside, not
+    silently absorbed into an empty table that clobbers other winners."""
+    path = str(tmp_path / "tuned.json")
+    with open(path, "w") as fh:
+        fh.write('{"pallas_sc|truncat')      # torn write
+    results = [{"config": {"tile": 8}, "mlups": 1.0, "ms_per_step": 1.0,
+                "spread": 0.0}]
+    autotune.save_table(path, "pallas_hcz", (9, 8, 8), "float32", results)
+    table = autotune.load_table(path)
+    assert autotune.lookup(table, "pallas_hcz", (9, 8, 8),
+                           "float32") == {"tile": 8}
+    import os
+    assert os.path.exists(path + ".corrupt")
