@@ -11,27 +11,125 @@ Timing notes (hard-won on the axon relay): ``block_until_ready`` does not
 reliably block, and jitting inside the timing loop measures remote
 compilation.  So: compile once with the measured step count, run once to
 warm, then time a run on a *fresh* input and force a small host readback.
+
+Outage tolerance (round 5): the axon relay has multi-hour outages during
+which ANY backend use blocks forever.  Two driver captures (r03, r04) were
+lost to a single-shot 240 s give-up, so the capture now (a) probes the
+backend in a SUBPROCESS (an in-process probe would wedge on the xla_bridge
+lock) and retries every ``--probe-every`` seconds up to ``--probe-budget``;
+(b) if the budget is exhausted — or an outage begins mid-run — the error
+JSON carries a ``last_good`` object (value/date/commit of the newest
+hardware-verified headline, scanned from the green ``BENCH_r*.json``
+artifacts) so a red capture still conveys the current verified number.
+The reference's bench protocol always yields a number
+(CooLBM_MRT_combustion.cpp:4376-4380, 415-426); this is the TPU-relay
+equivalent of that guarantee.
+
+Kernel config: tile/nsub/halo default to the committed autotune table
+(``multiphase_lbm_tpu/ops/tuned.json``, written by the on-chip sweep in
+``.claude/tpu_batch_all.py``); explicit CLI flags override; if no table
+entry matches the shape/dtype, round-2 measured optima are used.  The
+chosen source is logged to stderr (stdout stays one JSON line).
 """
 import argparse
+import glob
 import json
 import os
+import re
+import subprocess
 import sys
 import threading
 import time
 
+HERE = os.path.dirname(os.path.abspath(__file__))
 
-def _backend_watchdog(seconds=240.0, stage="probe"):
-    """The axon relay has multi-hour outages during which ANY backend use
-    (even jax.devices()) blocks forever rather than erroring — including
-    outages that BEGIN mid-run.  Arm a timer per stage (probe / compile /
-    timed run) that emits one error JSON line and exits instead of hanging
-    the caller; cancel after the stage's readback completes."""
+
+def _last_good():
+    """Newest hardware-verified headline: scan green ``BENCH_r*.json``
+    driver artifacts (value > 0), newest round wins.  Attaches the capture
+    date (from the jax warning timestamp embedded in the artifact's tail)
+    and the git commit that landed the artifact, when recoverable."""
+    best = None
+    for path in sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = rec.get("parsed") or {}
+        if not isinstance(parsed, dict) or not parsed.get("value"):
+            continue
+        entry = {"value": parsed["value"], "metric": parsed.get("metric"),
+                 "unit": parsed.get("unit", "MLUPS"),
+                 "source": os.path.basename(path)}
+        m = re.search(r"(\d{4}-\d{2}-\d{2}) \d{2}:\d{2}:\d{2}",
+                      rec.get("tail", ""))
+        if m:
+            entry["date"] = m.group(1)
+        try:
+            c = subprocess.run(
+                ["git", "-C", HERE, "log", "--diff-filter=A",
+                 "--format=%h", "-1", "--", os.path.basename(path)],
+                capture_output=True, text=True, timeout=10)
+            if c.returncode == 0 and c.stdout.strip():
+                entry["commit"] = c.stdout.strip()
+        except (OSError, subprocess.SubprocessError):
+            pass
+        best = entry                     # sorted ascending: newest wins
+    return best
+
+
+def _emit_unreachable(stage, waited_s):
+    print(json.dumps({
+        "metric": "MLUPS_D2Q9_MRT_ShanChen",
+        "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+        "error": f"TPU backend unreachable for {waited_s:.0f}s "
+                 f"during {stage} (axon relay outage)",
+        "last_good": _last_good()}), flush=True)
+
+
+def _probe_subprocess(timeout_s=75.0):
+    """One backend probe in a SUBPROCESS: during a relay outage backend
+    init blocks forever holding the xla_bridge lock, so an in-process
+    probe would wedge this process too (measured, round 4)."""
+    if os.environ.get("MLBM_SIMULATE_OUTAGE"):
+        return False                     # test hook: forced-unreachable
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.jit(lambda a: a * 2)(jnp.ones(8)).block_until_ready()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except OSError:
+        return False
+
+
+def _wait_for_backend(budget_s, every_s):
+    """Probe-retry loop. Returns True once a probe succeeds; emits the
+    error JSON (with last_good) and returns False when the budget is
+    exhausted.  Runs BEFORE any in-process backend touch."""
+    t0 = time.time()
+    while True:
+        if _probe_subprocess():
+            return True
+        waited = time.time() - t0
+        if waited + every_s >= budget_s:
+            _emit_unreachable("probe", max(waited, budget_s))
+            return False
+        print(f"bench: backend unreachable after {waited:.0f}s; "
+              f"retrying in {every_s:.0f}s (budget {budget_s:.0f}s)",
+              file=sys.stderr, flush=True)
+        time.sleep(every_s)
+
+
+def _backend_watchdog(seconds=240.0, stage="run"):
+    """An outage can BEGIN mid-run; arm a timer per in-process stage that
+    emits the error JSON (with last_good) and exits instead of hanging."""
     def _fire():
-        print(json.dumps({
-            "metric": "MLUPS_D2Q9_MRT_ShanChen",
-            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
-            "error": f"TPU backend unreachable for {seconds:.0f}s "
-                     f"during {stage} (axon relay outage)"}), flush=True)
+        _emit_unreachable(stage, seconds)
         os._exit(2)
     t = threading.Timer(seconds, _fire)
     t.daemon = True
@@ -39,32 +137,75 @@ def _backend_watchdog(seconds=240.0, stage="probe"):
     return t
 
 
+def _resolve_kernel_config(args, shape, dtype):
+    """tile/nsub/halo: CLI flag > committed autotune table > round-2
+    measured optima.  Returns (config dict, source string)."""
+    cfg = dict(tile=128, nsub=8, halo=16)       # round-2 measured optima
+    source = "builtin defaults"
+    try:
+        from multiphase_lbm_tpu.ops import autotune
+        table = autotune.load_table(args.tuned)
+        tuned = autotune.lookup(table, "pallas_sc", shape, dtype)
+        if tuned:
+            cfg.update({k: tuned[k] for k in ("tile", "nsub", "halo")
+                        if k in tuned})
+            source = f"tuned table {args.tuned}"
+    except FileNotFoundError:
+        pass
+    except (json.JSONDecodeError, KeyError, TypeError) as e:
+        print(f"bench: ignoring unreadable tuned table {args.tuned}: {e}",
+              file=sys.stderr)
+    overridden = [k for k in ("tile", "nsub", "halo")
+                  if getattr(args, k) is not None]
+    for k in overridden:
+        cfg[k] = getattr(args, k)
+    if overridden:
+        source += f" + CLI override {overridden}"
+    return cfg, source
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--collision", default="mrt", choices=["bgk", "mrt"])
-    ap.add_argument("--tile", type=int, default=128)
-    ap.add_argument("--nsub", type=int, default=8,
-                    help="temporal blocking: LBM steps per HBM round-trip")
-    ap.add_argument("--halo", type=int, default=16,
-                    help="stripe halo rows (must be >= 2*nsub, 8-aligned)")
+    ap.add_argument("--tile", type=int, default=None,
+                    help="stripe tile (default: tuned table / 128)")
+    ap.add_argument("--nsub", type=int, default=None,
+                    help="temporal blocking: LBM steps per HBM round-trip "
+                         "(default: tuned table / 8)")
+    ap.add_argument("--halo", type=int, default=None,
+                    help="stripe halo rows, >= 2*nsub, 8-aligned "
+                         "(default: tuned table / 16)")
+    ap.add_argument("--tuned",
+                    default=os.path.join(
+                        HERE, "multiphase_lbm_tpu", "ops", "tuned.json"),
+                    help="autotune winner table consulted for defaults")
     ap.add_argument("--no-fused", action="store_true",
                     help="benchmark the plain XLA path instead of Pallas")
     ap.add_argument("--reps", type=int, default=3,
                     help="timing repetitions (median reported; spread "
                          "in the JSON)")
+    ap.add_argument("--probe-budget", type=float, default=1500.0,
+                    help="total seconds to keep re-probing an unreachable "
+                         "backend before emitting the error JSON")
+    ap.add_argument("--probe-every", type=float, default=150.0,
+                    help="seconds between backend probes while waiting")
     args = ap.parse_args()
+
+    if not _wait_for_backend(args.probe_budget, args.probe_every):
+        sys.exit(2)
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    wd = _backend_watchdog()
+    # a probe can succeed and the relay drop before OUR backend init: keep
+    # a watchdog on the first in-process touch too
+    wd = _backend_watchdog(240.0, stage="backend init")
     jax.jit(lambda a: a * 2)(jnp.ones(8)).block_until_ready()
     wd.cancel()
 
-    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    sys.path.insert(0, HERE)
     from multiphase_lbm_tpu.models import shan_chen as sc
     from multiphase_lbm_tpu.ops import pallas_sc
 
@@ -78,12 +219,14 @@ def main():
             return sc.run(v, fluid, p, args.steps)
         label = "XLA"
     else:
+        cfg, source = _resolve_kernel_config(args, f.shape, f.dtype)
+        print(f"bench: kernel config {cfg} (source: {source})",
+              file=sys.stderr, flush=True)
         fluid_f32 = fluid.astype(jnp.float32)
 
         def step_n(v):
             return pallas_sc.run_fused(v, fluid_f32, p, args.steps,
-                                       tile=args.tile, periodic=True,
-                                       nsub=args.nsub, halo=args.halo)
+                                       periodic=True, **cfg)
         label = "Pallas"
 
     from multiphase_lbm_tpu.utils.profiling import measure_mlups

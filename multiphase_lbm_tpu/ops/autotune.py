@@ -108,8 +108,10 @@ def save_table(path: str, kernel: str, shape, dtype, results) -> None:
         print(f"autotune: {path} was corrupt — moved to {path}.corrupt, "
               "starting a fresh table")
     timed = [r for r in results if "mlups" in r]
+    # recompute the winner rather than trusting list order: callers may
+    # pass hand-assembled or merged result lists, not only sweep() output
     table[_key(kernel, shape, str(dtype))] = {
-        "best": timed[0] if timed else None,
+        "best": max(timed, key=lambda r: r["mlups"]) if timed else None,
         "results": results,
     }
     tmp = path + ".tmp"
