@@ -449,7 +449,7 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
                    flow_steps=20000, scalar_steps=5000, T_solid=None,
                    conj_scheme="li2014", restart=None, save_flow=True,
                    benchmark=False, bench_ini_iter=1000, bench_max_iter=2000,
-                   topology="inflow_outflow", u_lid=0.002, dpdx=0.0,
+                   topology="inflow_outflow", u_lid=None, dpdx=0.0,
                    fused=None):
     """Two-stage combustion driver (reference main :4074-4496).
 
@@ -468,6 +468,11 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
     Xu-2018 obstacles exist only in the inflow/outflow case (:3995-4029)."""
     from ..io import checkpoint as ckpt
 
+    # a lid speed only exists for the moving-wall topologies; defaulting it
+    # elsewhere would silently diverge driver-built params from a directly
+    # constructed CombustionParams() (where u_lid defaults to 0.0)
+    if u_lid is None:
+        u_lid = 0.002 if topology in ("cavity", "couette") else 0.0
     p = cb.CombustionParams(nx=nx, ny=ny, conj_scheme=conj_scheme,
                             topology=topology, u_lid=u_lid, dpdx=dpdx,
                             with_obstacles=(topology == "inflow_outflow"))

@@ -38,6 +38,7 @@ class Driver:
         self.async_io = async_io
         self._pool = None
         self._writes = []
+        self._io_err = None
 
     def log_file(self, name) -> DatLogger:
         if name not in self._logs:
@@ -64,7 +65,14 @@ class Driver:
         # at most 2 snapshots are ever held (executing + queued) — staging
         # first would transiently pin a third field set
         while len(self._writes) >= 2:
-            self._writes.pop(0).result()
+            try:
+                self._writes.pop(0).result()
+            except Exception as e:
+                # defer to drain()/finish(): raising from inside the time
+                # loop would leave the remaining queued future and the pool
+                # undrained (runners don't call finish() in a finally)
+                if self._io_err is None:
+                    self._io_err = e
         # start every device->host copy now (non-blocking), then hand the
         # formatting + disk write to the worker
         for _, data in (*scalars, *vectors, *int_scalars):
@@ -92,7 +100,7 @@ class Driver:
         success — and a later dump's failure must not be masked by an
         earlier one: every future is awaited before raising)."""
         writes, self._writes = self._writes, []
-        first_err = None
+        first_err, self._io_err = self._io_err, None
         for fut in writes:
             try:
                 fut.result()

@@ -68,9 +68,10 @@ def main(argv=None):
                     help="combustion domain topology (reference global "
                          "flags, CooLBM_MRT_combustion.cpp:154-254; "
                          "geometry branches :3756-4073)")
-    ap.add_argument("--u-lid", type=float, default=0.002,
+    ap.add_argument("--u-lid", type=float, default=None,
                     help="combustion lid/moving-wall speed for cavity/"
-                         "couette (reference ulb default, :53)")
+                         "couette (default: reference ulb 0.002 there, "
+                         ":53; inert 0.0 for the other topologies)")
     ap.add_argument("--dpdx", type=float, default=0.0,
                     help="combustion body force for poiseuille "
                          "(reference efx, :239)")

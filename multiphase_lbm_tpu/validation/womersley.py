@@ -66,10 +66,17 @@ def _self_configure():
 
     try:
         initialized = bool(jax._src.xla_bridge._backends)
-    except AttributeError:  # private layout moved; assume initialized
-        initialized = True
+    except AttributeError:
+        # private layout moved: fail SAFE to CPU — re-pinning after init
+        # is harmless (config.update below tolerates it), while skipping
+        # the pin would initialize the axon TPU backend, the exact
+        # relay-outage hang this guard exists to prevent
+        initialized = False
     if not initialized:
-        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass                     # backend already up: nothing to pin
     jax.config.update("jax_enable_x64", True)
 
 
