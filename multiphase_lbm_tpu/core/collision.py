@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .lattice import Lattice
+from .lattice import K_FROM_I, Lattice
 from .precision import einsum
 
 
@@ -87,6 +87,17 @@ MRT_M_I = np.array(
     dtype=np.float64,
 )
 MRT_M_I_INV = np.linalg.inv(MRT_M_I)
+
+# Consistent-basis variant for the physics modes: the same Lallemand–Luo
+# matrix with its columns permuted to the module k-ordering, so moments
+# really are (ρ, e, ε, jx, qx, jy, qy, pxx, pxy) of the data fed in.
+# The reference's scrambled basis is NOT y-mirror-equivariant (measured:
+# a mirrored rigid channel decollides to a different state by ~1e-4 per
+# step, skewing the steady profile toward the bottom wall); the
+# consistent basis restores exact mirror symmetry.
+_I_FROM_K = np.argsort(np.asarray(K_FROM_I))
+MRT_M_K = MRT_M_I[:, _I_FROM_K]
+MRT_M_K_INV = np.linalg.inv(MRT_M_K)
 
 
 def mrt_collide(f, feq, S, M=MRT_M_I, Minv=MRT_M_I_INV):

@@ -73,6 +73,63 @@ class PulsatileParams:
     # against analytic Poiseuille/Womersley channel flow
     # (validation/womersley.py).  Parity/golden tests require True.
     momentum_quirk: bool = True
+    # True reproduces the reference's ping-pong aliasing verbatim: the
+    # pull-stream writes into gin and the parity then flips, so every
+    # collision reads the previous POST-COLLISION buffer while the
+    # equilibrium comes from the streamed macro fields (see
+    # PulsatileState).  Round-5 bisection (2026-08-18) showed this
+    # aliasing — not the Zou/He corner rows — is what makes the
+    # true-moment mode blow up: with momentum_quirk=False the aliased
+    # dynamics grows a wall-wide boundary mode along the Bouzidi walls
+    # (e^{t/30} at 61×24, independent of collision operator, wall offset
+    # and corner treatment; a channel with NO pressure columns at all
+    # still diverges), while reading the streamed buffer — standard
+    # collide-stream LBM — is stable for ≥10 beats.  The biased Ux of the
+    # momentum quirk happens to damp the aliased mode, which is why the
+    # reference configuration survives.  None → follows momentum_quirk,
+    # so the parity mode is bit-identical and the physics mode is stable
+    # out of the box.
+    pingpong_quirk: bool | None = None
+    # True feeds the I-ordered Lallemand–Luo CONVERT matrix k-ordered
+    # population vectors, exactly like the reference's MRT_Collision
+    # (:509-541) — a basis scramble that is NOT y-mirror-equivariant
+    # (measured round 5: a mirrored rigid channel decollides differently
+    # by ~1e-4/step, skewing the steady channel profile ~40% toward the
+    # bottom wall).  False uses the consistent k-ordered basis
+    # (core.collision.MRT_M_K), restoring exact mirror symmetry.  None →
+    # follows momentum_quirk.
+    mrt_basis_quirk: bool | None = None
+    # Zou/He corner-node closure at the rows where the pressure columns
+    # meet the Bouzidi walls.  The reference applies the BULK Zou/He
+    # formulas on every row between yr1 and yr2 (:618-669) including the
+    # wall-adjacent ones; the closure replaces the two corner rows per
+    # column with the classical no-slip corner node (Zou & He 1997 §V):
+    # u = 0, P from the column waveform, unknown populations by
+    # non-equilibrium bounce-back with the two buried diagonals closing
+    # the pressure sum.  Not required for stability once pingpong_quirk
+    # is off (measured: both variants stable 4000 steps at 61×24), but it
+    # reduces corner noise (max|Uy| 5.3e-3 → 4.9e-3) and removes the
+    # formally undefined use of solid-row tangential populations.  None →
+    # enabled exactly when momentum_quirk is False.
+    zou_he_corner_closure: bool | None = None
+
+    @property
+    def pingpong(self) -> bool:
+        if self.pingpong_quirk is None:
+            return self.momentum_quirk
+        return self.pingpong_quirk
+
+    @property
+    def mrt_basis_scrambled(self) -> bool:
+        if self.mrt_basis_quirk is None:
+            return self.momentum_quirk
+        return self.mrt_basis_quirk
+
+    @property
+    def corner_closure(self) -> bool:
+        if self.zou_he_corner_closure is None:
+            return not self.momentum_quirk
+        return self.zou_he_corner_closure
 
     @property
     def rho0(self):
@@ -299,10 +356,19 @@ def collide(state: PulsatileState, p: PulsatileParams):
     reference's ping-pong aliasing, which steep staircase walls DO read."""
     geq = pressure_equilibrium(state.P, jnp.stack([state.Ux, state.Uy]),
                                p.rho0, D2Q9)
+    # parity mode collides the previous post-collision buffer (the
+    # reference's ping-pong aliasing); the physics mode collides what
+    # actually streamed in (standard LBM) — see pingpong_quirk
+    gin = state.g_coll if p.pingpong else state.g_stream
     if p.collision == "mrt":
-        gout = mrt_collide(state.g_coll, geq, np.asarray(p.S))
+        if p.mrt_basis_scrambled:        # reference-verbatim basis
+            gout = mrt_collide(gin, geq, np.asarray(p.S))
+        else:                            # consistent k-ordered basis
+            from ..core.collision import MRT_M_K, MRT_M_K_INV
+            gout = mrt_collide(gin, geq, np.asarray(p.S),
+                               M=MRT_M_K, Minv=MRT_M_K_INV)
     else:
-        gout = bgk_collide(state.g_coll, geq, 1.0 / p.tau)
+        gout = bgk_collide(gin, geq, 1.0 / p.tau)
     return jnp.where(state.fluid[None], gout, state.g_stream)
 
 
@@ -408,6 +474,12 @@ def zou_he(g, yr1, yr2, t, p: PulsatileParams):
     ylo_i = jnp.maximum(jnp.ceil(yr1[0] - 0.01).astype(jnp.int32), 0)
     yhi_i = jnp.minimum(jnp.floor(yr2[0] + 0.01).astype(jnp.int32), p.ny - 1)
     m_in = (rows >= ylo_i) & (rows <= yhi_i)
+    cc = p.corner_closure
+    if cc:
+        # corner rows get the dedicated closure below, not the bulk form
+        m_in_b = m_in & (rows != ylo_i) & (rows != yhi_i)
+    else:
+        m_in_b = m_in
 
     col = g[:, :, 0]
     g0, g2, g3 = col[kf[0]], col[kf[2]], col[kf[3]]
@@ -418,9 +490,30 @@ def zou_he(g, yr1, yr2, t, p: PulsatileParams):
     new8 = rho0 / 18.0 * Uin + 0.5 * (g2 - g4) + g6
     # one column update instead of three (each .at[k,:,0].set copies the
     # whole (9,ny,nx) array; the merged form copies it once)
-    newcol = col.at[kf[1]].set(jnp.where(m_in, new1, col[kf[1]]))
-    newcol = newcol.at[kf[5]].set(jnp.where(m_in, new5, col[kf[5]]))
-    newcol = newcol.at[kf[8]].set(jnp.where(m_in, new8, col[kf[8]]))
+    newcol = col.at[kf[1]].set(jnp.where(m_in_b, new1, col[kf[1]]))
+    newcol = newcol.at[kf[5]].set(jnp.where(m_in_b, new5, col[kf[5]]))
+    newcol = newcol.at[kf[8]].set(jnp.where(m_in_b, new8, col[kf[8]]))
+    if cc:
+        # Zou & He 1997 corner nodes, u = 0, pressure sum closed to Pin.
+        # Bottom-left (row ylo, wall below): unknowns E,N,NE,NW,SE;
+        # non-eq bounce-back E=W, N=S, NE=SW, buried NW=SE close Σg=Pin.
+        # Top-left (row yhi, wall above): unknowns E,S,SE,NE,SW mirrored.
+        # Known populations are read PRE-closure (bulk writes above do
+        # not touch the corner rows).
+        mb = rows == ylo_i
+        mt = (rows == yhi_i) & (yhi_i != ylo_i)
+        bl_d = 0.5 * (Pin - g0 - 2 * g3 - 2 * g4 - 2 * g7)   # NW = SE
+        tl_d = 0.5 * (Pin - g0 - 2 * g2 - 2 * g3 - 2 * g6)   # NE = SW
+        newcol = newcol.at[kf[1]].set(
+            jnp.where(mb | mt, g3, newcol[kf[1]]))
+        newcol = newcol.at[kf[2]].set(jnp.where(mb, g4, newcol[kf[2]]))
+        newcol = newcol.at[kf[4]].set(jnp.where(mt, g2, newcol[kf[4]]))
+        newcol = newcol.at[kf[5]].set(
+            jnp.where(mb, g7, jnp.where(mt, tl_d, newcol[kf[5]])))
+        newcol = newcol.at[kf[6]].set(jnp.where(mb, bl_d, newcol[kf[6]]))
+        newcol = newcol.at[kf[7]].set(jnp.where(mt, tl_d, newcol[kf[7]]))
+        newcol = newcol.at[kf[8]].set(
+            jnp.where(mb, bl_d, jnp.where(mt, g6, newcol[kf[8]])))
     g = g.at[:, :, 0].set(newcol)
 
     # outlet (:644-668)
@@ -433,6 +526,10 @@ def zou_he(g, yr1, yr2, t, p: PulsatileParams):
     ylo_o = jnp.maximum(jnp.ceil(yr1[-1] - 0.01).astype(jnp.int32), 0)
     yhi_o = jnp.minimum(jnp.floor(yr2[-1] + 0.01).astype(jnp.int32), p.ny - 1)
     m_out = (rows >= ylo_o) & (rows <= yhi_o)
+    if cc:
+        m_out_b = m_out & (rows != ylo_o) & (rows != yhi_o)
+    else:
+        m_out_b = m_out
 
     col = g[:, :, -1]
     g0, g1, g2 = col[kf[0]], col[kf[1]], col[kf[2]]
@@ -441,9 +538,26 @@ def zou_he(g, yr1, yr2, t, p: PulsatileParams):
     new3 = g1 - 2.0 * rho0 / 9.0 * Uout
     new6 = -rho0 / 18.0 * Uout - 0.5 * (g2 - g4) + g8
     new7 = -rho0 / 18.0 * Uout + 0.5 * (g2 - g4) + g5
-    newcol = col.at[kf[3]].set(jnp.where(m_out, new3, col[kf[3]]))
-    newcol = newcol.at[kf[6]].set(jnp.where(m_out, new6, col[kf[6]]))
-    newcol = newcol.at[kf[7]].set(jnp.where(m_out, new7, col[kf[7]]))
+    newcol = col.at[kf[3]].set(jnp.where(m_out_b, new3, col[kf[3]]))
+    newcol = newcol.at[kf[6]].set(jnp.where(m_out_b, new6, col[kf[6]]))
+    newcol = newcol.at[kf[7]].set(jnp.where(m_out_b, new7, col[kf[7]]))
+    if cc:
+        # Bottom-right (wall below): unknowns W,N,NW,NE,SW; W=E, N=S,
+        # NW=SE, buried NE=SW close Σg=Pout.  Top-right mirrored.
+        mb = rows == ylo_o
+        mt = (rows == yhi_o) & (yhi_o != ylo_o)
+        br_d = 0.5 * (Pout - g0 - 2 * g1 - 2 * g4 - 2 * g8)  # NE = SW
+        tr_d = 0.5 * (Pout - g0 - 2 * g1 - 2 * g2 - 2 * g5)  # NW = SE
+        newcol = newcol.at[kf[3]].set(
+            jnp.where(mb | mt, g1, newcol[kf[3]]))
+        newcol = newcol.at[kf[2]].set(jnp.where(mb, g4, newcol[kf[2]]))
+        newcol = newcol.at[kf[4]].set(jnp.where(mt, g2, newcol[kf[4]]))
+        newcol = newcol.at[kf[6]].set(
+            jnp.where(mb, g8, jnp.where(mt, tr_d, newcol[kf[6]])))
+        newcol = newcol.at[kf[5]].set(jnp.where(mb, br_d, newcol[kf[5]]))
+        newcol = newcol.at[kf[8]].set(jnp.where(mt, tr_d, newcol[kf[8]]))
+        newcol = newcol.at[kf[7]].set(
+            jnp.where(mb, br_d, jnp.where(mt, g5, newcol[kf[7]])))
     g = g.at[:, :, -1].set(newcol)
     return g
 
@@ -853,10 +967,41 @@ def initialize(p: PulsatileParams, dtype=jnp.float64) -> PulsatileState:
         jnp.asarray(P, dtype), jnp.asarray(np.stack([Ux, Uy]), dtype),
         p.rho0, D2Q9))
     g = g * fluid[None]
+    ga = jnp.asarray(g, dtype)
     return PulsatileState(
-        g_coll=jnp.asarray(g, dtype),
-        g_stream=jnp.zeros_like(jnp.asarray(g, dtype)),
+        g_coll=ga,
+        # also the first collision input in the physics mode
+        # (pingpong=False); bit-identical for parity mode — g is zeroed
+        # at solids above, and fluid-cell g_stream is unread there
+        g_stream=ga,
         yr1=jnp.asarray(yr1, dtype), yr2=jnp.asarray(yr2, dtype),
         P=jnp.asarray(P * fluid, dtype),
         Ux=jnp.asarray(Ux * fluid, dtype), Uy=jnp.asarray(Uy * fluid, dtype),
         F=jnp.asarray(F, dtype), fluid=jnp.asarray(fluid))
+
+
+def initialize_rigid_channel(p: PulsatileParams, yr_bottom: float,
+                             yr_top: float,
+                             dtype=jnp.float64) -> PulsatileState:
+    """Straight rigid channel at fractional wall positions with a linear
+    inlet→outlet pressure ramp — the quirk-OFF physics-validation
+    geometry (validation/womersley.py module gate).
+
+    The REFERENCE cannot construct this: its geometry initializer pins
+    the inlet radius to 0 via ``p_tissue = p0_in``
+    (PulsatileBloodFlow2D.h:156-158), so a plain open channel through the
+    full Zou/He + Bouzidi machinery was never exercised upstream.  Use
+    with ``deformable=False`` (the walls then stay at the given
+    positions)."""
+    nx, ny = p.nx, p.ny
+    yr1 = jnp.full((nx,), yr_bottom, dtype)
+    yr2 = jnp.full((nx,), yr_top, dtype)
+    F = fobj_from_walls(yr1, yr2, p)
+    fluid = flags_from_fobj(F, p)
+    P = jnp.broadcast_to(jnp.linspace(p.pin, p.pout, nx, dtype=dtype),
+                         (ny, nx)) * fluid
+    U0 = jnp.zeros((ny, nx), dtype)
+    g = pressure_equilibrium(P, jnp.stack([U0, U0]), p.rho0, D2Q9) \
+        * fluid[None]
+    return PulsatileState(g_coll=g, g_stream=g, yr1=yr1, yr2=yr2,
+                          P=P, Ux=U0, Uy=U0, F=F, fluid=fluid)

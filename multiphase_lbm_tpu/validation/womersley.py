@@ -18,8 +18,9 @@ ny − 1.5).  Both components are measured from one beat's Fourier
 transform after the viscous transient (slowest mode decays at
 ν·π²/(4h²)) has died.
 
-Why not validate the pulsatile module's own rigid channel?  Two measured
-findings (2026-08-18, recorded here so they aren't rediscovered):
+The pulsatile MODULE's rigid channel is gated here too (round 5,
+``run_module_validation``).  Three measured findings recorded so they
+aren't rediscovered:
 
 * The reference momentum sweep omits k=0 — the W direction in module
   ordering, not the rest direction (``PulsatileBloodFlow2D.h:224``; rest
@@ -31,16 +32,27 @@ findings (2026-08-18, recorded here so they aren't rediscovered):
   config lives at P≈0.02, so its bias is ~10× smaller and the archived
   run looks like plausible hemodynamics.  ``PulsatileParams
   .momentum_quirk=False`` restores the true first moment.
-* With the quirk disabled, the plain-Zou/He-on-corner-rows treatment the
-  reference applies (bulk formulas on every row between yr1 and yr2,
-  :618-669) is linearly UNSTABLE where the pressure columns meet the
-  Bouzidi walls (growth ≈ e^{t/57} at 141×24, mode peaked at the outlet
-  top corner; the quirky dynamics happens to damp it).  The reference
-  never exercises this configuration — its geometry initializer pins the
-  inlet radius at 0 (``p_tissue = p0_in``, :156-158) — so the corner
-  instability is invisible upstream.  Pulsatile physics therefore stays
-  validated by golden parity (quirk ON), and the analytic gates live at
-  the core level, below the Zou/He corners.
+* With the quirk disabled, the reference's remaining treatment diverges
+  (rigid channel NaN within ~600 steps at 61×24).  Round-5 bisection
+  located the cause in the PING-PONG ALIASING — collisions reading the
+  previous post-collision buffer while the equilibrium uses streamed
+  macro fields — which grows a wall-wide boundary mode along the Bouzidi
+  walls (e^{t/30}; independent of BGK/MRT, wall offset, and corner
+  treatment; a channel with NO pressure columns still diverges, so the
+  round-4 attribution of the instability to the Zou/He corner rows was
+  wrong).  The biased Ux of the momentum quirk happens to damp this
+  mode.  ``pingpong_quirk=False`` (standard collide-stream input) is
+  stable for ≥10 beats.
+* The reference feeds its I-ordered Lallemand–Luo CONVERT matrix
+  k-ordered data (``:509-541``); the scrambled moment basis is not
+  y-mirror-equivariant and skews the steady channel profile ~40% toward
+  the bottom wall.  ``mrt_basis_quirk=False`` (``core.collision
+  .MRT_M_K``) restores exact mirror symmetry (commutation error ~1e-17
+  per step phase, measured).
+
+All three quirks default to following ``momentum_quirk``, so the golden
+parity mode is bit-identical and ``momentum_quirk=False`` alone yields
+the stable, symmetric physics mode gated below.
 
 Usage:  python -m multiphase_lbm_tpu.validation.womersley
 """
@@ -201,9 +213,125 @@ GATE_STEADY = 0.003
 GATE_OSC = 0.02
 
 
+# ─── pulsatile-MODULE gate (round 5): quirk-OFF rigid channel ───────────────
+def run_module_channel(nx=61, ny=24, t_beat=400, wall=2.3, dtype=None):
+    """Drive the pulsatile MODULE's rigid channel in the physics mode
+    (``momentum_quirk=False`` → true first moment, standard collide-stream
+    input, consistent MRT basis, Zou/He corner closures) through its OWN
+    Zou/He pressure waveforms and Bouzidi walls, and record one beat of
+    the full (P, Ux, Uy) fields after the transient.
+
+    The run covers ≥9 beats of settling (waveform start-up
+    ``t_start + t_propagation`` plus 8 viscous time constants) before the
+    measured beat, so a surviving instability of the reference treatment
+    (wall-wide aliasing mode, growth e^{t/30} at this shape — see
+    ``PulsatileParams.pingpong_quirk``) would have amplified by e^{>100}
+    and cannot masquerade as a pass."""
+    _self_configure()
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import pulsatile as pm
+
+    dtype = dtype or jnp.float64
+    p = pm.PulsatileParams(nx=nx, ny=ny, deformable=False, is_severed=False,
+                           momentum_quirk=False, t_beat=t_beat)
+    st = pm.initialize_rigid_channel(p, wall, ny - 1 - wall, dtype)
+    nu = (p.tau - 0.5) / 3.0
+    ym = (ny - 1) / 2.0                      # walls symmetric about center
+    h = (ny - 1 - 2 * wall) / 2.0            # no-slip planes at yr1, yr2
+    n_settle = (p.t_start + p.t_propagation
+                + int(8 * 4 * h * h / (nu * np.pi ** 2)))
+
+    st = pm.run(st, 0, p, n_settle)
+
+    @jax.jit
+    def measure(st0):
+        def body(carry, t):
+            carry = pm.step(carry, t, p)
+            return carry, (carry.P, carry.Ux, carry.Uy)
+        return jax.lax.scan(body, st0, n_settle + jnp.arange(t_beat))
+
+    st, (P, Ux, Uy) = measure(st)
+    return (np.asarray(P), np.asarray(Ux), np.asarray(Uy),
+            (ym, h, nu), n_settle)
+
+
+# Gates ~2x the measured figures (61x24, t_beat=400, wall=2.3, f64,
+# 2026-08-19: steady 0.0155, shape 0.072, budget residual 0.0945).  The
+# oscillatory flow here is genuinely COMPRESSIBLE: the reference's outlet
+# delay t_propagation ≈ L/cs launches a traveling pressure wave whose 3%
+# density oscillation makes the oscillatory flux non-uniform (|û| decays
+# ~27% along the channel), so a naive incompressible-Womersley magnitude
+# comparison against the local dP/dx is off by +35% BY PHYSICS, scaling
+# like 1/L (measured: 1.32 at nx=61, 1.61 at nx=31, unchanged at 3x the
+# wavelength).  The honest oscillatory gates are therefore (a) the
+# Womersley PROFILE SHAPE (y-structure normalized at the centerline,
+# which the traveling wave leaves intact) and (b) closure of the full
+# unsteady momentum budget ρ0∂t u = −∂x P + ν∇²u − ρ0 u·∇u at the
+# fundamental, which pins magnitude and phase against the model's own
+# pressure field with no incompressibility assumption.
+MODULE_GATES = {"steady": 0.04, "shape": 0.15, "budget": 0.20}
+
+
+def run_module_validation(nx=61, ny=24, t_beat=400, wall=2.3, verbose=True):
+    """Gate the pulsatile module's quirk-OFF mode: steady Poiseuille
+    profile, Womersley oscillatory profile SHAPE, and fundamental-mode
+    momentum-budget closure (see MODULE_GATES note).  Returns a dict of
+    the three errors."""
+    P, Ux, Uy, (ym, h, nu), n_settle = run_module_channel(
+        nx=nx, ny=ny, t_beat=t_beat, wall=wall)
+    assert np.isfinite(Ux).all(), "module channel went non-finite"
+    omega = 2.0 * np.pi / t_beat
+    t = np.arange(t_beat) + n_settle + 1         # state after step t: t+1
+    ph = np.exp(-1j * omega * t)
+
+    def fhat(A):
+        return 2.0 / t_beat * (A * ph[:, None, None]).sum(axis=0)
+
+    y = np.arange(ny, dtype=float)
+    m = np.abs(y - ym) <= h - 0.5                # interior fluid rows
+    xc = nx // 2
+
+    # steady profile vs Poiseuille at the measured mean gradient
+    u_mean = Ux.mean(axis=0)
+    G0 = float(np.gradient(P.mean(axis=0), axis=1)[6:ny - 6, 8:-8].mean())
+    ua_s, _ = analytic_profiles(y, ym, h, nu, 1.0, omega, -G0, 0.0)
+    err_steady = float(np.abs(u_mean[m, xc] - ua_s[m]).max()
+                       / np.abs(ua_s[m]).max())
+
+    # oscillatory profile shape vs Womersley (centerline-normalized)
+    u_hat = fhat(Ux)
+    _, ua_h = analytic_profiles(y, ym, h, nu, 1.0, omega, 0.0, 1.0)
+    shape_sim = u_hat[:, xc] / u_hat[ny // 2, xc]
+    shape_ana = ua_h / ua_h[ny // 2]
+    err_shape = float(np.abs(shape_sim[m] - shape_ana[m]).max())
+
+    # fundamental-mode momentum budget over an interior block
+    dudt = 1j * omega * fhat(Ux)
+    Gx = fhat(np.gradient(P, axis=2))
+    lap = fhat(np.gradient(np.gradient(Ux, axis=1), axis=1)
+               + np.gradient(np.gradient(Ux, axis=2), axis=2))
+    adv = fhat(Ux * np.gradient(Ux, axis=2) + Uy * np.gradient(Ux, axis=1))
+    res = dudt + Gx - nu * lap + adv
+    sl = (slice(6, ny - 6), slice(8, nx - 8))
+    err_budget = float(np.abs(res[sl]).max() / np.abs(dudt[sl]).max())
+
+    errs = {"steady": err_steady, "shape": err_shape, "budget": err_budget}
+    if verbose:
+        Wo = h * np.sqrt(omega / nu)
+        print(f"module channel {nx}x{ny}, h={h}, Wo={Wo:.2f}, "
+              f"beats covered={(n_settle + t_beat) / t_beat:.1f}")
+        for k, v in errs.items():
+            print(f"  {k}: {v:.4f} (gate {MODULE_GATES[k]})")
+    return errs
+
+
 def main():
     err_s, err_o = run_validation()
     ok = err_s < GATE_STEADY and err_o < GATE_OSC
+    errs = run_module_validation()
+    ok = ok and all(errs[k] < MODULE_GATES[k] for k in MODULE_GATES)
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
