@@ -23,10 +23,15 @@ The kernel transliterates the XLA step phase-for-phase (same op order,
 same select semantics), so it is pinned to the XLA oracle by an
 interpreter-mode equivalence test (``tests/test_pallas_combustion.py``).
 
-Supported = the reference main's default path: ``topology='inflow_outflow'``,
-``conj_scheme='li2014'`` (or ``'none'``), no body force, no
-temperature-coupling corrector, no free-slip walls.  Anything else raises
-``NotImplementedError`` — use :func:`..models.combustion.run`.
+Supported = all four reference geometry branches (``inflow_outflow``
+default plus the ``cavity``/``couette``/``poiseuille`` test topologies,
+round-5 extension: the channel-only BC phases are compile-time-gated out
+and the MRT body force reuses the low-rank collision factorization) with
+``conj_scheme='li2014'`` (or ``'none'``); no temperature-coupling
+corrector, no free-slip walls.  The y-striped variant additionally
+rejects the x-periodic topologies unless nx is lane-aligned (the DMA pad
+would corrupt the wrap).  Anything else raises ``NotImplementedError`` —
+use :func:`..models.combustion.run`.
 
 Measured 420×80 f32 on a SERIAL v5e chip (round 2): **452.9 MLUPS** with
 all four populations (0.07 ms/step) and 505.5 flow-only, vs the XLA
@@ -64,23 +69,33 @@ from ..models.combustion import (C, M_INV, M_MAT, OPP, Q, W,
 _roll2 = kernel_utils.roll2
 
 
-def _check_supported(p: CombustionParams):
-    if (p.topology != "inflow_outflow" or p.scheme not in ("li2014", "none")
-            or p.dpdx or p.dpdy or p.temperature_coupling or p.y_freeslip):
+_TOPOLOGIES = ("inflow_outflow", "cavity", "couette", "poiseuille")
+_X_PERIODIC = ("couette", "poiseuille")     # rolls must truly wrap in x
+
+
+def _check_supported(p: CombustionParams, striped: bool = False):
+    if (p.topology not in _TOPOLOGIES or p.scheme not in ("li2014", "none")
+            or p.temperature_coupling or p.y_freeslip):
         raise NotImplementedError(
-            "fused combustion kernel supports the reference default path "
-            "(inflow_outflow topology, li2014/none conjugate scheme, no "
-            f"body force, no TC corrector, no free-slip); got "
-            f"topology={p.topology!r} scheme={p.scheme!r} dpdx={p.dpdx} "
-            f"dpdy={p.dpdy} TC={p.temperature_coupling} "
+            "fused combustion kernel supports the reference geometry "
+            "branches (inflow_outflow/cavity/couette/poiseuille, round-5 "
+            "extension) with li2014/none conjugate scheme, no TC "
+            f"corrector, no free-slip; got topology={p.topology!r} "
+            f"scheme={p.scheme!r} TC={p.temperature_coupling} "
             f"freeslip={p.y_freeslip} — use models.combustion.run")
+    if striped and p.topology in _X_PERIODIC and p.nx % 128:
+        raise NotImplementedError(
+            "the y-striped kernel lane-pads nx to a 128 multiple, which "
+            f"corrupts the x-periodic wrap {p.topology!r} relies on; use "
+            f"the whole-lattice kernel, nx % 128 == 0, or "
+            "models.combustion.run")
 
 
-def supported(p: CombustionParams) -> bool:
+def supported(p: CombustionParams, striped: bool = False) -> bool:
     """True iff the fused kernels can run this configuration (the loud
     rationale lives in :func:`_check_supported`)."""
     try:
-        _check_supported(p)
+        _check_supported(p, striped=striped)
     except NotImplementedError:
         return False
     return True
@@ -163,12 +178,14 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
     row compile the write to a no-op select.
 
     ``nx_arr`` > nx lane-pads the arrays to a 128 multiple (Mosaic DMA
-    lane-alignment, striped path only).  The pad columns are inert: x=0
-    is a WALL column and the outlet pin overwrites every wrap-consuming
-    population at x=nx−1 (reference iniCavity :3756-3821 topology), so
-    values wrapped through the pad never reach observable state — the
-    padded-wrap rolls are select-masked exactly like the true-width wrap
-    of the whole-lattice kernel."""
+    lane-alignment, striped path only).  The pad columns are inert for
+    the x-walled topologies: inflow_outflow has a WALL column at x=0 and
+    the outlet pin overwrites every wrap-consuming population at x=nx−1
+    (reference iniCavity :3756-3821), and cavity walls both columns — so
+    values wrapped through the pad never reach observable state.  The
+    x-PERIODIC topologies (couette/poiseuille) rely on a true wrap, so
+    the striped path rejects them unless nx is already lane-aligned
+    (:func:`_check_supported` ``striped=True``)."""
     if nx_arr is None:
         nx_arr = nx
     S, SO2, SCO2, ST, STs = p.S_vectors()
@@ -194,6 +211,11 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
     cj_b = 2.0 / (1.0 + sig)
     cj_c = 2.0 * sig / (1.0 + sig)
     li2014 = p.scheme == "li2014"
+    # inflow/outflow-channel-only phases (extrapolated outlet, inlet
+    # scalar Dirichlet, T-wall ping-pong keeps, outlet pin); the other
+    # reference geometry branches (:3756-4073) skip them
+    io = p.topology == "inflow_outflow"
+    body_force = bool(p.dpdx or p.dpdy)
 
     class K:
         """Per-trace constants (lazily built inside the kernel)."""
@@ -427,11 +449,13 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
         is_bulk_m = m2["is_bulk"] > 0.5
 
         # ── phase 1: BC fixes on incoming populations ──
-        f = apply_flow_outlet(f)
+        if io:
+            f = apply_flow_outlet(f)
         if konv:
-            gO2, gCO2, gT = apply_scalar_bcs_all(
-                (gO2, gCO2, gT), (p.Y_O2_inlet, p.Y_CO2_inlet, p.T_inlet),
-                f)
+            if io:
+                gO2, gCO2, gT = apply_scalar_bcs_all(
+                    (gO2, gCO2, gT),
+                    (p.Y_O2_inlet, p.Y_CO2_inlet, p.T_inlet), f)
             if li2014:
                 # each opposite pair (k, ko) shares its two rolled g_coll
                 # arrays (8 rolls, not 16)
@@ -459,6 +483,11 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
 
         # ── phase 2: macro ──
         rho, ux, uy = macro_uv(f)
+        if body_force:
+            # half-force velocity shift (reference macro, :580)
+            inv_rho_bf = 1.0 / rho
+            ux = ux + (0.5 * p.dpdx) * inv_rho_bf
+            uy = uy + (0.5 * p.dpdy) * inv_rho_bf
         usqr = 1.5 * (ux * ux + uy * uy)
         YO2 = jnp.sum(gO2, axis=0)
         YCO2 = jnp.sum(gCO2, axis=0)
@@ -468,6 +497,25 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
         cu = cu_of(ux, uy)
         feq = equilibrium(rho, cu, usqr)
         post_f = collide(f, feq, "flow")
+        if body_force:
+            # MRT external force (reference collideMRT :2451-2475):
+            # F_k = w_k (3 c·F + 9 (c·u)(c·F) − 3 u·F), moments relaxed
+            # by (1 − S/2).  M⁻¹diag(1−S/2)M = I − ½M⁻¹SM, so the update
+            # reuses the host-factorized low-rank (A−I) collision terms:
+            # ΔF = ½F_k − ½Σ_j (S_j−1)·M⁻¹[:,j](M[j,:]·F_k).
+            cF = K.CX3 * jnp.float32(p.dpdx) + K.CY3 * jnp.float32(p.dpdy)
+            uF = ux * p.dpdx + uy * p.dpdy
+            Fk = K.W3 * (3.0 * cF + 9.0 * cu * cF - 3.0 * uF[None])
+            kind, data = K.mrt["flow"]
+            if kind == "bgk":
+                post_f = post_f + (1.0 - 0.5 * data) * Fk
+            else:
+                rows, cols = data
+                acc = 0.5 * Fk
+                for rw, cl in zip(rows, cols):
+                    m = jnp.sum(rw * Fk, axis=0)
+                    acc = acc - 0.5 * cl * m[None]
+                post_f = post_f + acc
 
         if konv:
             gxs, gys = grad_onesided([rho, ux, uy, YO2, YCO2], m2)
@@ -569,18 +617,22 @@ def _make_body(p: CombustionParams, ny: int, nx: int, konv: bool,
                     valT = pulled[3]
                 # streamTemp has NO wall bounce-back in inflow_outflow
                 # (:1852-1911): wall-originating T pops keep the BC-fixed
-                # values (mirrors models.combustion.stream_temperature)
-                newT.append(jnp.where(nb_wall_m, gT[k], valT))
-        # outlet ping-pong staleness: west-pointing pops of column nx−1
-        # are never written by the reference's push stream — keep this
-        # step's BC-fixed values (mirrors the oracle's outlet pin)
-        m_pin = col_mask(nx - 1) & is_bulk_m
-        for kp in (3, 6, 7):
-            newf[kp] = jnp.where(m_pin, f[kp], newf[kp])
-            if konv:
-                newO2[kp] = jnp.where(m_pin, gO2[kp], newO2[kp])
-                newCO2[kp] = jnp.where(m_pin, gCO2[kp], newCO2[kp])
-                newT[kp] = jnp.where(m_pin, gT[kp], newT[kp])
+                # values (mirrors models.combustion.stream_temperature);
+                # the other topologies take the plain pull
+                newT.append(jnp.where(nb_wall_m, gT[k], valT) if io
+                            else valT)
+        if io:
+            # outlet ping-pong staleness: west-pointing pops of column
+            # nx−1 are never written by the reference's push stream —
+            # keep this step's BC-fixed values (mirrors the oracle's
+            # outlet pin)
+            m_pin = col_mask(nx - 1) & is_bulk_m
+            for kp in (3, 6, 7):
+                newf[kp] = jnp.where(m_pin, f[kp], newf[kp])
+                if konv:
+                    newO2[kp] = jnp.where(m_pin, gO2[kp], newO2[kp])
+                    newCO2[kp] = jnp.where(m_pin, gCO2[kp], newCO2[kp])
+                    newT[kp] = jnp.where(m_pin, gT[kp], newT[kp])
         newf = jnp.where(is_bulk_m[None], jnp.stack(newf), 0.0)
         if konv:
             newO2 = jnp.where(is_bulk_m[None], jnp.stack(newO2), 0.0)
@@ -875,7 +927,7 @@ def run_fused(state: CombustionState, p: CombustionParams, n_steps: int,
     whole-lattice VMEM image doesn't fit, ≳60k cells): ``stripe_tile``
     rows per grid program with a ``halo``-row cut margin; ``nsub`` is
     then capped at ``halo // STRIPE_REACH`` steps per launch."""
-    _check_supported(p)
+    _check_supported(p, striped=bool(stripe_tile))
     ny, nx = p.ny, p.nx
     if first_step and n_steps > 0:
         state = cbm.run(state, p, 1, konv=konv, first_step=True)

@@ -492,10 +492,11 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
         if auto:
             fused = True
         if fused:
-            # the fused kernels cover the reference default path only
-            # (inflow_outflow/li2014, pallas_combustion._check_supported);
-            # a --topology cavity bench must fall back to XLA under auto
-            # selection and fail loudly only on an explicit --fused
+            # the fused kernels cover all four reference geometry branches
+            # (round 5) but not every scheme/flag combination
+            # (pallas_combustion._check_supported); an unsupported config
+            # must fall back to XLA under auto selection and fail loudly
+            # only on an explicit --fused
             from ..ops import pallas_combustion as pcmb
             if not pcmb.supported(p):
                 if not auto:
@@ -505,12 +506,19 @@ def run_combustion(outdir, nx=420, ny=80, dtype=jnp.float64,
             # y-striped kernel (measured 840x160 konv: 563.6 MLUPS at
             # tile=40/halo=16/nsub=4 vs 416 XLA; tile=80 exceeds VMEM)
             from ..ops import pallas_combustion as pcmb
-            try:
-                tile = pcmb.pick_stripe_tile(ny, nx, halo=16)
-            except ValueError:
-                if not auto:     # user explicitly asked for --fused
-                    raise
-                tile = 0         # no admissible stripe height: XLA fallback
+            if not pcmb.supported(p, striped=True):
+                # x-periodic topology + unaligned nx: the stripe DMA pad
+                # would corrupt the wrap — fall back (loud on --fused)
+                if not auto:
+                    pcmb._check_supported(p, striped=True)
+                tile = 0
+            else:
+                try:
+                    tile = pcmb.pick_stripe_tile(ny, nx, halo=16)
+                except ValueError:
+                    if not auto:     # user explicitly asked for --fused
+                        raise
+                    tile = 0     # no admissible stripe height: XLA fallback
             if tile:
                 runner = partial(pcmb.run_fused, stripe_tile=tile, halo=16)
             else:

@@ -358,20 +358,20 @@ def test_cli_restart_workflow(tmp_path):
     assert vtk and "velocity_Z" in vtk[0].read_text()
 
 
-def test_bench_auto_falls_back_to_xla_on_unsupported_topology(tmp_path):
-    """--bench with a fused-unsupported topology: auto kernel selection
-    must fall back to XLA (the fused kernels cover only the reference
-    default inflow_outflow/li2014 path), while an explicit --fused request
-    still fails loudly."""
+def test_bench_auto_falls_back_to_xla_on_unsupported_config(tmp_path):
+    """--bench with a fused-unsupported config (guo2015 conjugate
+    scheme; topologies are all fused-supported since round 5): auto
+    kernel selection must fall back to XLA, while an explicit --fused
+    request still fails loudly."""
     import pytest
 
     from multiphase_lbm_tpu.runners import apps
 
     st = apps.run_combustion(str(tmp_path), nx=64, ny=32, benchmark=True,
                              bench_ini_iter=5, bench_max_iter=10,
-                             topology="cavity", u_lid=0.05, fused=None)
+                             conj_scheme="guo2015", fused=None)
     assert np.isfinite(np.asarray(st.f)).all()
     with pytest.raises(NotImplementedError, match="fused combustion"):
         apps.run_combustion(str(tmp_path), nx=64, ny=32, benchmark=True,
                             bench_ini_iter=5, bench_max_iter=10,
-                            topology="cavity", u_lid=0.05, fused=True)
+                            conj_scheme="guo2015", fused=True)

@@ -123,13 +123,90 @@ def test_fused_nsub_consistency(small):
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("topo,kw", [
+    ("cavity", dict(u_lid=0.05)),
+    ("couette", dict(u_lid=0.04)),
+    ("poiseuille", dict(dpdx=1e-6, tau_flow=0.8)),
+])
+def test_fused_matches_xla_other_topologies(topo, kw):
+    """Round-5 extension: the reference's cavity/couette/poiseuille
+    geometry branches (CooLBM_MRT_combustion.cpp:3756-4073) through the
+    fused kernel — lid momentum exchange via the generic fs_at masks,
+    x-periodic wrap for couette/poiseuille, MRT body force via the
+    low-rank (1−S/2) projection — vs the XLA oracle."""
+    p = cb.CombustionParams(nx=64, ny=32, topology=topo,
+                            with_obstacles=False, **kw)
+    flags, _ = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p, flags=flags)
+    st = cb.run(st, p, 60, konv=False)
+    st32 = cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
+    n = 5
+    ref = cb.run(st32, p, n, konv=False)
+    out = pc.run_fused(st32, p, n, konv=False, nsub=2, interpret=True)
+    sel = np.broadcast_to(tab["is_bulk"], ref.f.shape)
+    np.testing.assert_allclose(np.asarray(out.f)[sel],
+                               np.asarray(ref.f)[sel],
+                               rtol=2e-4, atol=5e-6)
+
+
+def test_fused_matches_xla_cavity_konv():
+    """Cavity with the scalar populations on: exercises the non-io konv
+    path (no inlet/outlet scalar BCs, plain-pull temperature streaming at
+    walls) against the oracle."""
+    p = cb.CombustionParams(nx=64, ny=32, topology="cavity", u_lid=0.05,
+                            with_obstacles=False)
+    flags, _ = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p, flags=flags)
+    st = cb.run(st, p, 40, konv=False)
+    st = cb.run(st, p, 1, konv=True, first_step=True)
+    st = cb.run(st, p, 10, konv=True)
+    st32 = cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
+    n = 4
+    ref = cb.run(st32, p, n, konv=True)
+    out = pc.run_fused(st32, p, n, konv=True, nsub=2, interpret=True)
+    sel = np.broadcast_to(tab["is_bulk"], ref.f.shape)
+    for name in ("f", "gO2", "gCO2", "gT"):
+        np.testing.assert_allclose(np.asarray(getattr(out, name))[sel],
+                                   np.asarray(getattr(ref, name))[sel],
+                                   rtol=2e-4, atol=5e-6, err_msg=name)
+
+
+def test_striped_cavity_matches_xla():
+    """Striped path on a cavity: x-walled, so the lane pad stays inert
+    (both edge columns are WALL) even though nx=64 is not a 128
+    multiple."""
+    p = cb.CombustionParams(nx=64, ny=32, topology="cavity", u_lid=0.05,
+                            with_obstacles=False)
+    flags, _ = cb.build_geometry(p)
+    tab = cb.build_static_tables(flags, p)
+    st = cb.initialize(p, flags=flags)
+    st = cb.run(st, p, 60, konv=False)
+    st32 = cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
+    n = 4
+    ref = cb.run(st32, p, n, konv=False)
+    out = pc.run_fused(st32, p, n, konv=False, nsub=2, interpret=True,
+                       stripe_tile=16, halo=8)
+    sel = np.broadcast_to(tab["is_bulk"], ref.f.shape)
+    np.testing.assert_allclose(np.asarray(out.f)[sel],
+                               np.asarray(ref.f)[sel],
+                               rtol=2e-4, atol=5e-6)
+
+
 def test_unsupported_configs_raise(small):
     p, flags, f_solid, tab = small
     st = cb.initialize(p, flags=flags)
     st32 = cb.CombustionState(*(jnp.asarray(a, jnp.float32) for a in st))
-    for bad in (dataclasses.replace(p, topology="cavity"),
-                dataclasses.replace(p, conj_scheme="guo2015"),
-                dataclasses.replace(p, dpdx=1e-6, topology="poiseuille"),
-                dataclasses.replace(p, temperature_coupling=True)):
+    for bad in (dataclasses.replace(p, conj_scheme="guo2015"),
+                dataclasses.replace(p, temperature_coupling=True),
+                dataclasses.replace(p, y_freeslip=True)):
         with pytest.raises(NotImplementedError):
             pc.run_fused(st32, bad, 1, interpret=True)
+    # the striped kernel rejects x-periodic topologies whose nx would be
+    # lane-padded (the pad would corrupt the wrap); whole-lattice is fine
+    bad = cb.CombustionParams(nx=64, ny=32, topology="couette", u_lid=0.04,
+                              with_obstacles=False)
+    with pytest.raises(NotImplementedError, match="lane-pads"):
+        pc.run_fused(st32, bad, 1, interpret=True, stripe_tile=16)
+    assert pc.supported(bad) and not pc.supported(bad, striped=True)
