@@ -395,12 +395,14 @@ def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None,
 
 
 # ─── Pulsatile vessel (reference PulsatileBloodFlow2D.h :719-794) ──────────
-def run_pulsatile(outdir, N=64, dtype=jnp.float64, max_steps=None):
+def run_pulsatile(outdir, N=64, dtype=jnp.float64, max_steps=None,
+                  async_io=True):
     p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N)
     state = pb.initialize(p, dtype=dtype)
     tf = max_steps or (p.beat + 2 * p.t_propagation)
     step_freq = max(1, tf // 100)
-    drv = Driver(outdir, p.nx * p.ny, out_freq=step_freq, vtk_freq=step_freq)
+    drv = Driver(outdir, p.nx * p.ny, out_freq=step_freq,
+                 vtk_freq=step_freq, async_io=async_io)
     # dump instants: POST-step times that are multiples of step_freq (the
     # reference's tf/100 cadence — the archived golden run is sol_0000000,
     # sol_0000027, …), plus the final step.  The loop advances so each
@@ -413,12 +415,14 @@ def run_pulsatile(outdir, N=64, dtype=jnp.float64, max_steps=None):
         state = pb.run(state, it, p, chunk)
         drv.clock.tick(chunk)
         it = dump_t + 1
+        # fields stay ON DEVICE (async worker pulls them); Flag is dynamic
+        # here (deformable walls), so it rides along as a device array too
         drv.write_vtk(dump_t, p.nx, p.ny, spacing=1.0 / p.nx,
-                      scalars=[("P", np.asarray(state.P)),
-                               ("Ux", np.asarray(state.Ux)),
-                               ("Uy", np.asarray(state.Uy))],
+                      scalars=[("P", state.P),
+                               ("Ux", state.Ux),
+                               ("Uy", state.Uy)],
                       int_scalars=[("Flag",
-                                    (~np.asarray(state.fluid)).astype(int))])
+                                    (~state.fluid).astype(jnp.int32))])
     drv.finish()
     return state
 
@@ -434,13 +438,14 @@ def _combustion_vtk(drv, st, p, flags, it):
     """VTK dump with the reference's exact field list incl. velocity_Z
     (saveVtkFields, CooLBM_MRT_combustion.cpp:3560-3711; 2D run → z=0)."""
     rho, u = cb.macro_flow(st.f)
+    # fields stay ON DEVICE (async worker pulls them); Flag is static host
     drv.write_vtk(it, p.nx, p.ny,
-                  scalars=[("Density", np.asarray(rho)),
-                           ("Temperature", np.asarray(cb.macro_scalar(st.gT))),
-                           ("mass_fraction_O2", np.asarray(cb.macro_scalar(st.gO2))),
-                           ("mass_fraction_CO2", np.asarray(cb.macro_scalar(st.gCO2))),
-                           ("velocity_X", np.asarray(u[0])),
-                           ("velocity_Y", np.asarray(u[1])),
+                  scalars=[("Density", rho),
+                           ("Temperature", cb.macro_scalar(st.gT)),
+                           ("mass_fraction_O2", cb.macro_scalar(st.gO2)),
+                           ("mass_fraction_CO2", cb.macro_scalar(st.gCO2)),
+                           ("velocity_X", u[0]),
+                           ("velocity_Y", u[1]),
                            ("velocity_Z", np.zeros((p.ny, p.nx)))],
                   int_scalars=[("Flag", flags.astype(int))])
 
