@@ -396,8 +396,9 @@ def run_rayleigh_taylor_sc(config, outdir, dtype=jnp.float64, max_steps=None,
 
 # ─── Pulsatile vessel (reference PulsatileBloodFlow2D.h :719-794) ──────────
 def run_pulsatile(outdir, N=64, dtype=jnp.float64, max_steps=None,
-                  async_io=True):
-    p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N)
+                  async_io=True, momentum_quirk=True):
+    p = pb.PulsatileParams(nx=1 + 10 * (N - 2), ny=N,
+                           momentum_quirk=momentum_quirk)
     state = pb.initialize(p, dtype=dtype)
     tf = max_steps or (p.beat + 2 * p.t_propagation)
     step_freq = max(1, tf // 100)

@@ -57,6 +57,13 @@ def main(argv=None):
                     help="use the fused Pallas kernel path "
                          "(rayleighTaylor2D, Young_Laplace2D, "
                          "RayleighTaylor2D_sc, combustion)")
+    ap.add_argument("--quirk-free", action="store_true",
+                    help="PulsatileBloodFlow2D: physics mode "
+                         "(momentum_quirk=False — true first moment, "
+                         "standard collide-stream input, consistent MRT "
+                         "basis, Zou/He corner closures; see "
+                         "validation/womersley.py findings) instead of "
+                         "the reference-parity quirks")
     ap.add_argument("--N", type=int, default=64,
                     help="resolution for PulsatileBloodFlow2D")
     ap.add_argument("--scheme", default="li2014",
@@ -94,7 +101,8 @@ def main(argv=None):
 
     if args.problem == "PulsatileBloodFlow2D":
         apps.run_pulsatile(args.outdir, N=args.N, dtype=dtype,
-                           max_steps=args.steps)
+                           max_steps=args.steps,
+                           momentum_quirk=not args.quirk_free)
         return 0
     if args.problem == "combustion":
         apps.run_combustion(args.outdir, nx=args.nx, ny=args.ny, dtype=dtype,
