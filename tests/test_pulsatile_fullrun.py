@@ -36,15 +36,17 @@ def test_fused_fullrun_order_dep_envelope():
     reseed steps filled densely instead of sequentially
     (ops/pallas_pulsatile_full.py:44-50) — is bounded over the FULL
     2765-step reference run: 6 such steps measured; the gate fails if a
-    kernel edit doubles the count.  Also re-checks the f32 statistical
-    gates at reduced metric cadence (the phase-lag metric needs the
-    full-cadence tail, so it is gated only in the cadence-1 validation
-    run / TPU batch)."""
-    sim, diag = fr.simulate_metrics(path="fused", cadence=10,
+    kernel edit doubles the count.  Runs at FULL metric cadence (round 5:
+    the 103-dump golden parse costs only ~6 s) so the f32 statistical
+    gates AND the pressure-wave phase-lag gate both execute on the fused
+    path in CI — previously the phase gate existed only in the TPU
+    batch."""
+    sim, diag = fr.simulate_metrics(path="fused", cadence=1,
                                     interpret=True)
     assert diag["order_dep_steps"] <= fr.ORDER_DEP_STEPS_MAX, diag
     assert diag["reseed_cells"] > 0          # the counter is alive
-    gold = fr.golden_metrics(cadence=10)
+    gold = fr.golden_metrics(cadence=1)
     table = fr.compare(sim, gold)
     for k, tol in fr.GATES_F32.items():
         assert table[k] <= tol, (k, table[k], tol)
+    assert abs(table["wave_phase_lag_dumps"]) <= 1, table
