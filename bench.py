@@ -11,6 +11,13 @@ Timing notes (hard-won on the axon relay): ``block_until_ready`` does not
 reliably block, and jitting inside the timing loop measures remote
 compilation.  So: compile once with the measured step count, run once to
 warm, then time a run on a *fresh* input and force a small host readback.
+Round 5: the default protocol is the two-point SLOPE (time the same
+kernel at ``--steps`` and ``--steps2``, difference cancels the measured
+~30 ms constant relay dispatch+readback cost per call) — the steady-state
+device rate the reference's warmup-1000/timed-2000 protocol also reports
+(CooLBM_MRT_combustion.cpp:61-62, 4376-4380).  ``--protocol oneshot``
+restores the round-2..4 single-call timing; the JSON records which
+protocol produced the number plus the inferred per-call overhead.
 
 Outage tolerance (round 5): the axon relay has multi-hour outages during
 which ANY backend use blocks forever.  Two driver captures (r03, r04) were
@@ -168,6 +175,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps2", type=int, default=None,
+                    help="second step count for the slope protocol "
+                         "(default: 3x --steps)")
+    ap.add_argument("--protocol", default="slope",
+                    choices=["slope", "oneshot"],
+                    help="slope: two-point timing that cancels the ~30 ms "
+                         "per-call relay overhead (device rate); oneshot: "
+                         "single-call timing incl. that overhead")
     ap.add_argument("--collision", default="mrt", choices=["bgk", "mrt"])
     ap.add_argument("--tile", type=int, default=None,
                     help="stripe tile (default: tuned table / 128)")
@@ -199,6 +214,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the slope protocol compiles two step
+    # counts; warm entries make a driver capture cheap, cold ones are
+    # covered by the compile watchdog below
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     # a probe can succeed and the relay drop before OUR backend init: keep
     # a watchdog on the first in-process touch too
     wd = _backend_watchdog(240.0, stage="backend init")
@@ -215,8 +238,10 @@ def main():
     fluid = sc.geometry_periodic(n, n)
 
     if args.no_fused:
-        def step_n(v):
-            return sc.run(v, fluid, p, args.steps)
+        def make_step(ns):
+            def step_n(v):
+                return sc.run(v, fluid, p, ns)
+            return step_n
         label = "XLA"
     else:
         cfg, source = _resolve_kernel_config(args, f.shape, f.dtype)
@@ -224,19 +249,29 @@ def main():
               file=sys.stderr, flush=True)
         fluid_f32 = fluid.astype(jnp.float32)
 
-        def step_n(v):
-            return pallas_sc.run_fused(v, fluid_f32, p, args.steps,
-                                       periodic=True, **cfg)
+        def make_step(ns):
+            def step_n(v):
+                return pallas_sc.run_fused(v, fluid_f32, p, ns,
+                                           periodic=True, **cfg)
+            return step_n
         label = "Pallas"
 
-    from multiphase_lbm_tpu.utils.profiling import measure_mlups
+    from multiphase_lbm_tpu.utils.profiling import (measure_mlups,
+                                                    measure_mlups_slope)
 
     # remote Pallas compile goes through a compile server and can take
     # minutes; an outage starting mid-compile would otherwise hang forever
-    wd = _backend_watchdog(900.0, stage="compile+timed run")
-    mlups, _, spread, out = measure_mlups(
-        step_n, f, args.steps, n * n,
-        perturb=lambda s: s * jnp.float32(1.000001), reps=args.reps)
+    wd = _backend_watchdog(1500.0, stage="compile+timed run")
+    overhead_ms = None
+    if args.protocol == "slope":
+        steps2 = args.steps2 or 3 * args.steps
+        mlups, _, spread, overhead_ms, out = measure_mlups_slope(
+            make_step, f, args.steps, steps2, n * n,
+            perturb=lambda s: s * jnp.float32(1.000001), reps=args.reps)
+    else:
+        mlups, _, spread, out = measure_mlups(
+            make_step(args.steps), f, args.steps, n * n,
+            perturb=lambda s: s * jnp.float32(1.000001), reps=args.reps)
     # check the ACTUAL timed output (reduce on device; pulling the full
     # array over the axon tunnel is slow)
     finite = bool(jnp.isfinite(jnp.sum(out)))
@@ -250,7 +285,10 @@ def main():
         "unit": "MLUPS",
         "vs_baseline": round(mlups / target, 4),
         "spread": round(spread, 4),
+        "protocol": args.protocol,
     }
+    if overhead_ms is not None:
+        rec["overhead_ms"] = round(overhead_ms, 1)
     # one chip: a concurrent process corrupts timings by 1.3-30x
     # (ARCHITECTURE.md); a rep spread far above the ~±12% serial-chip
     # session noise is the fingerprint — tag the number as untrustworthy

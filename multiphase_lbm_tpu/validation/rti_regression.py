@@ -11,10 +11,11 @@ N=256 (default) runs the XLA path (~1 min to t=2); N=2048 runs the fused
 Pallas path with 5-step temporal blocking (2048×8200 lattice, ~35 s of
 stepping per simulated time unit at ~2000 MLUPS).
 
-Measured result (v5e, f32 fused path, t_end=3, N=2048, 2026-08-16):
-max |spike − literature| = 0.0596, max |bubble − literature| = 0.0267
+Measured result (v5e, f32 fused path, t_end=3, N=2048, 2026-08-19,
+re-captured with the current roll-reducer kernel):
+max |spike − literature| = 0.0611, max |bubble − literature| = 0.0253
 (tolerance 0.15); velocity curves (notebook cells 2-3: np.gradient +
-7-sample moving average) deviate 0.0801 / 0.0286 (tolerance 0.25) —
+7-sample moving average) deviate 0.0794 / 0.0286 (tolerance 0.25) —
 PASS.  The trajectory is archived in
 ``validation/data/rti2048_trajectory.npz`` (keys t, s, b) and replayed
 against the curves in CI (tests/test_rti_regression.py).

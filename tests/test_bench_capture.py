@@ -115,3 +115,41 @@ def test_resolve_kernel_config_tuned_table_and_cli_override(tmp_path):
     args.tuned = str(tmp_path / "absent.json")
     cfg, source = bench._resolve_kernel_config(args, shape, dtype)
     assert cfg == {"tile": 128, "nsub": 8, "halo": 16}
+
+
+def test_slope_protocol_cancels_constant_overhead():
+    """measure_mlups_slope recovers the true per-step rate when every call
+    carries a large constant cost (the ~30 ms relay dispatch+readback that
+    made round-5 one-shot numbers lie by up to 35x: combustion 68 vs 2399
+    true MLUPS)."""
+    import numpy as np
+    from multiphase_lbm_tpu.utils import profiling
+
+    per_step_s, overhead_s = 1e-4, 30e-3
+    clock = [0.0]
+
+    def fake_perf_counter():
+        return clock[0]
+
+    class FakeOut:
+        def ravel(self):
+            return np.zeros(8)
+
+    def make_step(n):
+        def step(_state):
+            clock[0] += overhead_s + n * per_step_s
+            return FakeOut()
+        return step
+
+    orig = profiling.time.perf_counter
+    profiling.time.perf_counter = fake_perf_counter
+    try:
+        mlups, ms_per_step, spread, overhead_ms, _ = (
+            profiling.measure_mlups_slope(
+                make_step, FakeOut(), 100, 300, nelem=1_000_000, reps=3))
+    finally:
+        profiling.time.perf_counter = orig
+    assert abs(ms_per_step - per_step_s * 1e3) < 1e-9
+    assert abs(overhead_ms - overhead_s * 1e3) < 1e-6
+    assert abs(mlups - 1_000_000 / per_step_s / 1e6) < 1e-6
+    assert spread == 0.0
